@@ -1,0 +1,121 @@
+"""Greedy NMS variants in pure JAX (static shapes, lax control flow).
+
+TPU-native replacements for the reference's CUDA ``nms_gpu`` (iou3d_nms_kernel.cu:267-414,
+wrapped by box_torch_ops.rotate_nms_pcdet:248-276) and the numba ``circle_nms``
+(circle_nms_jit.py:5-28). Suppression is inherently sequential in the greedy formulation;
+we run it as a ``lax.fori_loop`` whose body is a fully vectorized one-vs-all IoU row, with
+per-box corners precomputed once. The score-sort + pre/post truncation semantics match the
+reference exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tdal.core.geometry import center_to_corner_box2d
+from tdal.core.iou import quad_intersection_area
+
+_NEG_INF = -1e18
+
+
+def _greedy_suppress(keep_init, suppress_row_fn, n):
+    """Generic greedy pass: for each i in score order, kill later boxes via row fn."""
+
+    def body(i, keep):
+        row = suppress_row_fn(i)  # bool (n,): candidates i would suppress
+        alive_i = keep[i]
+        idx = jnp.arange(n)
+        suppress = row & (idx > i) & alive_i
+        return keep & (~suppress)
+
+    return jax.lax.fori_loop(0, n, body, keep_init)
+
+
+def rotated_nms(
+    boxes: jax.Array,
+    scores: jax.Array,
+    iou_threshold: float,
+    pre_max_size: int,
+    post_max_size: int,
+):
+    """Rotated BEV NMS on [x, y, z, l, w, h, heading] boxes.
+
+    Scores may contain -inf / masked entries; they sort last and never suppress.
+    Returns (indices (post_max_size,) into the ORIGINAL array, valid (post_max_size,)).
+
+    Parity: box_torch_ops.rotate_nms_pcdet (box_torch_ops.py:248-276) + CUDA nms_gpu —
+    greedy by descending score, suppress when BEV IoU > threshold. (The reference's
+    pcdet-convention flip before NMS is a consistent relabeling of both operands, so
+    IoU and therefore the kept set are identical without it.)"""
+    boxes = jnp.asarray(boxes)
+    scores = jnp.asarray(scores)
+    order = jnp.argsort(-scores)
+    order = order[:pre_max_size]
+    m = order.shape[0]
+    b = boxes[order]
+    s = scores[order]
+    valid_in = jnp.isfinite(s)
+
+    corners = center_to_corner_box2d(b[:, :2], b[:, 3:5], b[:, 6])  # (m, 4, 2)
+    areas = b[:, 3] * b[:, 4]
+
+    def row_fn(i):
+        ci = corners[i]
+        inter = jax.vmap(lambda cj: quad_intersection_area(ci, cj))(corners)
+        union = jnp.clip(areas[i] + areas - inter, 1e-8, None)
+        iou = inter / union
+        return (iou > iou_threshold) & valid_in & valid_in[i]
+
+    keep = _greedy_suppress(valid_in, row_fn, m)
+
+    # Compact kept entries (already in score order) to the front.
+    rank = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((post_max_size,), 0, dtype=order.dtype)
+    out_valid = jnp.zeros((post_max_size,), dtype=bool)
+    take = keep & (rank < post_max_size)
+    out_idx = out_idx.at[jnp.where(take, rank, post_max_size)].set(
+        order, mode="drop"
+    )
+    out_valid = out_valid.at[jnp.where(take, rank, post_max_size)].set(
+        True, mode="drop"
+    )
+    return out_idx, out_valid
+
+
+def circle_nms(
+    centers: jax.Array,
+    scores: jax.Array,
+    dist_threshold: float,
+    post_max_size: int,
+):
+    """Center-distance greedy NMS. centers (N, 2); suppress when squared distance
+    <= dist_threshold. Parity: circle_nms_jit.py:5-28 (used by CenterHead when
+    test_cfg.circular_nms is on, center_head.py).
+
+    Returns (indices (post_max_size,), valid (post_max_size,))."""
+    centers = jnp.asarray(centers)
+    scores = jnp.asarray(scores)
+    n = centers.shape[0]
+    order = jnp.argsort(-scores)
+    c = centers[order]
+    s = scores[order]
+    valid_in = jnp.isfinite(s)
+
+    def row_fn(i):
+        d2 = jnp.sum((c - c[i]) ** 2, axis=-1)
+        return (d2 <= dist_threshold) & valid_in & valid_in[i]
+
+    keep = _greedy_suppress(valid_in, row_fn, n)
+
+    rank = jnp.cumsum(keep) - 1
+    out_idx = jnp.full((post_max_size,), 0, dtype=order.dtype)
+    out_valid = jnp.zeros((post_max_size,), dtype=bool)
+    take = keep & (rank < post_max_size)
+    out_idx = out_idx.at[jnp.where(take, rank, post_max_size)].set(
+        order, mode="drop"
+    )
+    out_valid = out_valid.at[jnp.where(take, rank, post_max_size)].set(
+        True, mode="drop"
+    )
+    return out_idx, out_valid
