@@ -1,0 +1,311 @@
+"""Track-keyed datasets for the static & dynamic auto-labelers.
+
+Host-side numpy counterparts of reference ``STATICTRACK`` (tools/static_model.py:519-598)
+and ``DYNAMICTRACK`` (tools/dynamic_model.py:400-535), producing fixed-shape batches for
+the jit'd TPU step. Differences from the reference are throughput-only:
+
+- annos are loaded once per token through :class:`AnnoStore` (the reference re-reads the
+  pickle and re-inverts the pose for EVERY item: static_model.py:536-538,
+  dynamic_model.py:449-483 — SURVEY.md §7 hard part 6),
+- batches are stacked dense arrays (B, ...) with everything static-shaped,
+- a seeded numpy Generator replaces global np.random state.
+
+Label/canonicalization semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from tdal.data.waymo_schema import (
+    AnnoStore,
+    box7_from_box9,
+    points_in_rbbox_np,
+    rotz_np,
+    transform_box_np,
+)
+
+NUM_HEADING_BIN = 12
+
+
+def _angle2class_np(angle: float, num_class: int = NUM_HEADING_BIN):
+    """Scalar angle -> (bin, residual). Parity: tools/utils.py:53-60."""
+    angle = angle % (2 * np.pi)
+    angle_per_class = 2 * np.pi / float(num_class)
+    shifted = (angle + angle_per_class / 2) % (2 * np.pi)
+    class_id = int(shifted / angle_per_class)
+    class_id = min(class_id, num_class - 1)
+    residual = shifted - (class_id * angle_per_class + angle_per_class / 2)
+    return class_id, residual
+
+
+def _size2class_np(lwh: np.ndarray):
+    """Parity: tools/utils.py:62-67."""
+    from tdal.core.codecs import MEAN_SIZE_ARR
+
+    diff = np.linalg.norm(lwh[None, :] - MEAN_SIZE_ARR, axis=1)
+    class_id = int(np.argmin(diff))
+    return class_id, lwh - MEAN_SIZE_ARR[class_id]
+
+
+def preprocess_tracks(track: dict, annos: AnnoStore, ratio: float = 0.1, seed: Optional[int] = None):
+    """Drop tracks whose best frame has no matching GT object; 90/10 train/val split.
+
+    Parity: tools/static_train.py:29-51 preprocessing (python random.shuffle)."""
+    kept = {}
+    for k, v in track.items():
+        score = np.stack(v["score"])
+        token = v["token"][int(np.argmax(score))]
+        if annos.find_object(token, v["match"][-1]) is not None:
+            kept[k] = v
+    items = list(kept.items())
+    rng = random.Random(seed) if seed is not None else random
+    rng.shuffle(items)
+    n_val = int(ratio * len(items))
+    return dict(items[n_val:]), dict(items[:n_val])
+
+
+class StaticTrackDataset:
+    """Per-track samples: merged multi-frame points in the best-score frame's vehicle
+    coords, canonicalized into the init-box frame. Parity: STATICTRACK
+    (static_model.py:519-598)."""
+
+    def __init__(self, track: dict, annos: AnnoStore, npoints: int = 4096, seed: int = 0):
+        self.track_ids = list(track.keys())
+        self.tracks = list(track.values())
+        self.annos = annos
+        self.npoints = npoints
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.tracks)
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        tr = self.tracks[index]
+        score = np.stack(tr["score"])
+        best = int(np.argmax(score))
+        token = tr["token"][best]
+
+        inv_pose = self.annos.inv_pose(token)
+        init_box = transform_box_np(
+            np.asarray(tr["bbox"][best], np.float64)[None], inv_pose
+        )[0]
+
+        point = np.concatenate([np.asarray(p).reshape(-1, 3) for p in tr["point"]], axis=0)
+        point = point @ inv_pose[:3, :3].T + inv_pose[:3, 3]
+
+        choice = self.rng.choice(point.shape[0], self.npoints, replace=True)
+        point = point[choice]
+
+        obj = self.annos.find_object(token, tr["match"][-1])
+        bbox_gt = box7_from_box9(np.asarray(obj["box"], np.float64))
+
+        mask_label = points_in_rbbox_np(point, bbox_gt[None]).astype(np.float32)[:, 0]
+        center_label = bbox_gt[:3]
+        h_cls, h_res = _angle2class_np(bbox_gt[6] - init_box[6])
+        s_cls, s_res = _size2class_np(bbox_gt[3:6])
+
+        # Canonicalize into the init-box frame (static_model.py:569-570).
+        point = (point - init_box[:3]) @ rotz_np(-init_box[6]).T
+
+        return {
+            "track_id": self.track_ids[index],
+            "token": token,
+            "pts": point.astype(np.float32),
+            "init_box": init_box.astype(np.float32),
+            "bbox_gt": bbox_gt.astype(np.float32),
+            "mask_label": mask_label,
+            "center_label": center_label.astype(np.float32),
+            "heading_class_label": np.int32(h_cls),
+            "heading_residuals_label": np.float32(h_res),
+            "size_class_label": np.int32(s_cls),
+            "size_residuals_label": s_res.astype(np.float32),
+        }
+
+
+class DynamicTrackDataset:
+    """Per-frame samples over dynamic tracks: +-r frame point window with frame-time
+    channel, +-s frame box trajectory, labels relative to the center-frame box.
+    Parity: DYNAMICTRACK (dynamic_model.py:400-535)."""
+
+    def __init__(self, track: dict, annos: AnnoStore, npoints: int = 1024, r: int = 2, s: int = 50, seed: int = 0):
+        self.track_ids = list(track.keys())
+        self.tracks = list(track.values())
+        self.annos = annos
+        self.npoints = npoints
+        self.r = r
+        self.s = s
+        self.rng = np.random.default_rng(seed)
+        # Cumulative per-track frame offsets (dynamic_model.py:407-424 'heads').
+        self.heads = np.cumsum([0] + [len(t["point"]) for t in self.tracks])
+
+    def __len__(self):
+        return int(self.heads[-1])
+
+    def _locate(self, index: int):
+        track_idx = int(np.searchsorted(self.heads, index, side="right") - 1)
+        return track_idx, index - int(self.heads[track_idx])
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        for _ in range(len(self) + 1):
+            item = self._try_getitem(index)
+            if item is not None:
+                return item
+            # Missing GT at the center frame: resample another item
+            # (dynamic_model.py:486-488).
+            index = int(self.rng.integers(len(self)))
+        raise RuntimeError("no dynamic track item has GT at its center frame")
+
+    def _try_getitem(self, index: int):
+        track_idx, item_idx = self._locate(index)
+        tr = self.tracks[track_idx]
+        n_frames = len(tr["point"])
+        token = tr["token"][item_idx]
+        r, s, npts = self.r, self.s, self.npoints
+
+        # ---- point window (5 * npoints, 4), zero-filled out of range ----
+        chunks = []
+        for j, i in enumerate(range(item_idx - r, item_idx + r + 1)):
+            t_ch = np.full((npts, 1), 0.1 * (j - r))
+            if 0 <= i < n_frames and len(tr["point"][i]) > 0:
+                pts_i = np.asarray(tr["point"][i]).reshape(-1, 3)
+                choice = self.rng.choice(pts_i.shape[0], npts, replace=True)
+                chunks.append(np.hstack([pts_i[choice], t_ch]))
+            else:
+                chunks.append(np.hstack([np.zeros((npts, 3)), t_ch]))
+        point = np.concatenate(chunks, axis=0)  # (5*npts, 4), global frame
+
+        # ---- box trajectory (2s+1, 8), zero-filled out of range ----
+        boxes = np.zeros((2 * s + 1, 8))
+        boxes[:, 7] = 0.1 * (np.arange(2 * s + 1) - s)
+        for j, i in enumerate(range(item_idx - s, item_idx + s + 1)):
+            if 0 <= i < n_frames:
+                boxes[j, :7] = np.asarray(tr["bbox"][i]).reshape(7)
+
+        # ---- global -> center-frame vehicle coords ----
+        inv_pose = self.annos.inv_pose(token)
+        in_range = (np.arange(2 * s + 1) - s + item_idx >= 0) & (
+            np.arange(2 * s + 1) - s + item_idx < n_frames
+        )
+        boxes[in_range, :7] = transform_box_np(boxes[in_range, :7], inv_pose)
+        point[:, :3] = point[:, :3] @ inv_pose[:3, :3].T + inv_pose[:3, 3]
+
+        # ---- per-frame mask labels (need each frame's own pose + GT box) ----
+        mask_label = np.zeros((2 * r + 1, npts), np.float32)
+        bbox_gt = None
+        pose_center = self.annos.pose(token)  # vehicle(center) -> global
+        for j, i in enumerate(range(item_idx - r, item_idx + r + 1)):
+            if not (0 <= i < n_frames):
+                continue
+            t = tr["token"][i]
+            obj = self.annos.find_object(t, tr["match"][-1])
+            if obj is None:
+                continue
+            bbox_t = box7_from_box9(np.asarray(obj["box"], np.float64))
+            if i == item_idx:
+                bbox_gt = bbox_t.copy()
+            # center-frame vehicle -> global -> frame-i vehicle (dynamic_model.py:481-483)
+            m = self.annos.inv_pose(t) @ pose_center
+            p = point[j * npts : (j + 1) * npts, :3] @ m[:3, :3].T + m[:3, 3]
+            mask_label[j] = points_in_rbbox_np(p, bbox_t[None]).astype(np.float32)[:, 0]
+        mask_label = mask_label.reshape(-1)
+
+        if bbox_gt is None:
+            return None
+
+        init_box = boxes[s].copy()  # (8,): center-frame box + time 0
+        center_label = bbox_gt[:3] - boxes[s, :3]
+        h_cls, h_res = _angle2class_np(bbox_gt[6] - boxes[s, 6])
+        s_cls, s_res = _size2class_np(bbox_gt[3:6])
+
+        # Canonicalize into the center-frame box frame (dynamic_model.py:502-507).
+        rot = rotz_np(-boxes[s, 6]).T
+        point[:, :3] = (point[:, :3] - boxes[s, :3]) @ rot
+        boxes[:, :3] = boxes[:, :3] - boxes[s, :3]
+        boxes[:, 6] = boxes[:, 6] - boxes[s, 6]
+
+        return {
+            "track_id": self.track_ids[track_idx],
+            "token": token,
+            "pts": point.astype(np.float32),
+            "boxes": boxes.astype(np.float32),
+            "init_box": init_box.astype(np.float32),
+            "bbox_gt": bbox_gt.astype(np.float32),
+            "mask_label": mask_label,
+            "center_label": center_label.astype(np.float32),
+            "heading_class_label": np.int32(h_cls),
+            "heading_residuals_label": np.float32(h_res),
+            "size_class_label": np.int32(s_cls),
+            "size_residuals_label": s_res.astype(np.float32),
+        }
+
+
+_META_KEYS = ("track_id", "token")
+
+
+def collate(items) -> Dict[str, np.ndarray]:
+    """Stack a list of item dicts into dense (B, ...) arrays; meta keys become lists."""
+    out = {}
+    for k in items[0]:
+        if k in _META_KEYS:
+            out[k] = [it[k] for it in items]
+        else:
+            out[k] = np.stack([it[k] for it in items])
+    return out
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    pad_to_full: bool = False,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Epoch iterator over fixed-size batches.
+
+    pad_to_full repeats the last item so every batch has exactly batch_size rows
+    (static shapes => one XLA compilation); 'n_valid' records the real count."""
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        if len(sel) < batch_size:
+            if drop_last:
+                return
+            if pad_to_full:
+                sel = np.concatenate([sel, np.full(batch_size - len(sel), sel[-1])])
+        batch = collate([dataset[int(i)] for i in sel])
+        batch["n_valid"] = min(batch_size, n - start)
+        yield batch
+
+
+class Prefetcher:
+    """Threaded one-batch-ahead prefetch. Parity: det3d/solver/background.py:4-28."""
+
+    def __init__(self, iterator, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+
+        def worker():
+            for item in iterator:
+                self._q.put(item)
+            self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._sentinel:
+                return
+            yield item

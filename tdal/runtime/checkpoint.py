@@ -1,0 +1,119 @@
+"""Checkpoint save/load (orbax) with best-metric selection and tolerant loading.
+
+Capability parity with the reference's two checkpoint stories:
+- torchie save/load/resume with meta{epoch,iter}, latest symlink, prefix-stripping and
+  shape-mismatch-tolerant loading (det3d/torchie/trainer/checkpoint.py:42-215,
+  trainer.py:337-351,482-495)
+- the labeler tools' best-by-eval-acc ad-hoc torch.save (tools/static_train.py:149-165)
+
+One orbax-based story serves both (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    """Directory of step-numbered checkpoints + meta.json, with latest/best markers."""
+
+    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 5):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self.max_to_keep = max_to_keep
+
+    def _step_dir(self, step: int) -> Path:
+        return self.directory / f"ckpt_{step:08d}"
+
+    def save(self, step: int, state_tree: Any, meta: Optional[dict] = None, is_best: bool = False):
+        """state_tree: any pytree (e.g. {'params':..., 'batch_stats':..., 'opt_state':...})."""
+        path = self._step_dir(step)
+        self._ckptr.save(path, _to_host(state_tree), force=True)
+        meta = dict(meta or {})
+        meta["step"] = step
+        (path / "meta.json").write_text(json.dumps(meta, default=float))
+        (self.directory / "latest.json").write_text(json.dumps({"step": step}))
+        if is_best:
+            (self.directory / "best.json").write_text(
+                json.dumps({"step": step, **{k: v for k, v in meta.items()}}, default=float)
+            )
+        self._gc()
+        return path
+
+    def _gc(self):
+        """Keep the newest max_to_keep checkpoints plus the best one."""
+        steps = sorted(self.all_steps())
+        best = self.best_step()
+        for s in steps[: max(0, len(steps) - self.max_to_keep)]:
+            if s == best:
+                continue
+            import shutil
+
+            shutil.rmtree(self._step_dir(s), ignore_errors=True)
+
+    def all_steps(self):
+        return [
+            int(p.name.split("_")[1])
+            for p in self.directory.glob("ckpt_*")
+            if p.is_dir()
+        ]
+
+    def latest_step(self) -> Optional[int]:
+        marker = self.directory / "latest.json"
+        if marker.exists():
+            step = json.loads(marker.read_text())["step"]
+            if self._step_dir(step).exists():
+                return step
+        steps = self.all_steps()
+        return max(steps) if steps else None
+
+    def best_step(self) -> Optional[int]:
+        marker = self.directory / "best.json"
+        if marker.exists():
+            step = json.loads(marker.read_text())["step"]
+            if self._step_dir(step).exists():
+                return step
+        return None
+
+    def restore(self, step: Optional[int] = None, target: Any = None):
+        """Restore a checkpoint tree. step=None -> latest. Returns (tree, meta)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        path = self._step_dir(step)
+        tree = self._ckptr.restore(path, item=_to_host(target) if target is not None else None)
+        meta_path = path / "meta.json"
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {"step": step}
+        return tree, meta
+
+
+def load_params_tolerant(restored: dict, target: dict, logger=None) -> dict:
+    """Overlay restored leaves onto target, skipping missing keys and shape mismatches.
+
+    Parity: reference load_state_dict(strict=False)-with-shape-skips
+    (torchie/trainer/checkpoint.py:42-94). Used for finetune/freeze flows where the
+    two-stage model loads first-stage weights."""
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(target)
+    out = []
+    for path, leaf in flat_t:
+        if path in flat_r and getattr(flat_r[path], "shape", None) == getattr(leaf, "shape", None):
+            out.append(flat_r[path])
+        else:
+            if logger is not None:
+                logger.warning(f"checkpoint: skipping {jax.tree_util.keystr(path)}")
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)

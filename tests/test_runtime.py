@@ -1,0 +1,102 @@
+"""Tests for config system, registries, schedules, and checkpointing."""
+
+import numpy as np
+import pytest
+
+from tdal.runtime.config import Config, ConfigDict
+from tdal.runtime.registry import Registry, build_from_cfg
+from tdal.runtime.schedules import labeler_step_decay, one_cycle
+
+
+def test_config_fromfile_py(tmp_path):
+    cfg_file = tmp_path / "cfg.py"
+    cfg_file.write_text(
+        "lr = 0.001\n"
+        "model = dict(type='Net', hidden=64)\n"
+        "data = dict(train=dict(batch_size=8))\n"
+        "derived = lr * 10\n"
+    )
+    cfg = Config.fromfile(cfg_file)
+    assert cfg.lr == 0.001
+    assert cfg.model.type == "Net"
+    assert cfg.data.train.batch_size == 8
+    assert cfg.derived == pytest.approx(0.01)
+    assert "lr = 0.001" in cfg.text
+
+
+def test_config_merge_from_dict(tmp_path):
+    cfg = Config({"optimizer": {"lr": 1e-3}})
+    cfg.merge_from_dict({"optimizer.lr": 5e-4, "work_dir": "/tmp/x"})
+    assert cfg.optimizer.lr == 5e-4
+    assert cfg.work_dir == "/tmp/x"
+
+
+def test_configdict_nested_attr():
+    d = ConfigDict({"a": {"b": [{"c": 1}]}})
+    assert d.a.b[0].c == 1
+    d.a.new = {"x": 2}
+    assert d.a.new.x == 2
+
+
+def test_registry_build():
+    REG = Registry("test")
+
+    @REG.register_module
+    class Foo:
+        def __init__(self, a, b=2):
+            self.a, self.b = a, b
+
+    obj = build_from_cfg({"type": "Foo", "a": 1}, REG, default_args={"b": 7})
+    assert (obj.a, obj.b) == (1, 7)
+    with pytest.raises(KeyError):
+        build_from_cfg({"type": "Bar"}, REG)
+
+
+def test_labeler_step_decay():
+    sched = labeler_step_decay(1e-3, steps_per_epoch=10, step_size=20, gamma=0.7)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(10 * 20)) == pytest.approx(7e-4)  # epoch 20
+    assert float(sched(10 * 40)) == pytest.approx(0.49e-3)
+    # Very late epochs floor at init_lr * 0.01 (static_train.py:222-227 eta_min rule)
+    assert float(sched(10 * 2000)) == pytest.approx(1e-5)
+
+
+def test_one_cycle_endpoints():
+    lr, mom = one_cycle(0.003, total_steps=1000)
+    assert float(lr(0)) == pytest.approx(0.0003, rel=1e-3)
+    assert float(lr(400)) == pytest.approx(0.003, rel=1e-3)
+    assert float(lr(1000)) == pytest.approx(0.003 / 1e4, rel=1e-2)
+    assert float(mom(0)) == pytest.approx(0.95, rel=1e-3)
+    assert float(mom(400)) == pytest.approx(0.85, rel=1e-3)
+    assert float(mom(1000)) == pytest.approx(0.95, rel=1e-3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from tdal.runtime.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ckpts", max_to_keep=2)
+    tree = {"params": {"w": jnp.arange(4.0)}, "step": np.int32(3)}
+    mgr.save(1, tree, meta={"acc": 0.5})
+    mgr.save(2, tree, meta={"acc": 0.9}, is_best=True)
+    mgr.save(3, tree, meta={"acc": 0.7})
+    mgr.save(4, tree, meta={"acc": 0.6})
+    assert mgr.latest_step() == 4
+    assert mgr.best_step() == 2  # best survives GC
+    restored, meta = mgr.restore(2)
+    np.testing.assert_allclose(restored["params"]["w"], np.arange(4.0))
+    assert meta["acc"] == 0.9
+
+
+def test_load_params_tolerant():
+    import jax.numpy as jnp
+
+    from tdal.runtime.checkpoint import load_params_tolerant
+
+    target = {"a": jnp.zeros((2, 2)), "b": jnp.zeros(3), "c": jnp.zeros(1)}
+    restored = {"a": jnp.ones((2, 2)), "b": jnp.ones(4)}  # b shape mismatch, c missing
+    out = load_params_tolerant(restored, target)
+    np.testing.assert_allclose(out["a"], 1.0)
+    np.testing.assert_allclose(out["b"], 0.0)
+    np.testing.assert_allclose(out["c"], 0.0)

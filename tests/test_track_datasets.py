@@ -1,0 +1,119 @@
+"""Tests for synthetic data fabrication and the static/dynamic track datasets."""
+
+import numpy as np
+import pytest
+
+from tdal.data.synthetic import SyntheticScene, make_synthetic_dataset
+from tdal.data.track_datasets import (
+    DynamicTrackDataset,
+    StaticTrackDataset,
+    batch_iterator,
+    preprocess_tracks,
+)
+from tdal.data.waymo_schema import (
+    AnnoStore,
+    load_pickle,
+    points_in_rbbox_np,
+    reorganize_info,
+)
+
+
+@pytest.fixture(scope="module")
+def scene_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    infos, scenes = make_synthetic_dataset(root, n_scenes=1, n_frames=8, seed=0)
+    info_map = reorganize_info(infos)
+    annos = AnnoStore(info_map)
+    return root, infos, scenes[0], annos
+
+
+def test_synthetic_schema(scene_setup):
+    root, infos, scene, annos = scene_setup
+    assert len(infos) == 8
+    lidar = load_pickle(infos[0]["path"])
+    assert lidar["lidars"]["points_xyz"].shape[1] == 3
+    anno = load_pickle(infos[0]["anno_path"])
+    assert np.asarray(anno["veh_to_global"]).shape == (16,)
+    assert all(np.asarray(o["box"]).shape == (9,) for o in anno["objects"])
+    # anno boxes are vehicle-frame: re-projecting to global recovers the GT.
+    entry = annos.get(infos[3]["token"])
+    for o in entry["annos"]["objects"]:
+        gt = next(obj for obj in scene.objects if obj["name"] == o["name"])
+        box_g = scene.gt_box_global(gt, 3)
+        from tdal.data.waymo_schema import box7_from_box9, transform_box_np
+
+        back = transform_box_np(box7_from_box9(np.asarray(o["box"]))[None], entry["pose"])[0]
+        np.testing.assert_allclose(back[:6], box_g[[0, 1, 2, 3, 4, 5]], atol=1e-4)
+
+
+def test_static_track_dataset_labels(scene_setup):
+    root, infos, scene, annos = scene_setup
+    track = scene.make_track_data(box_noise=0.02, only="static")
+    assert len(track) == 2
+    ds = StaticTrackDataset(track, annos, npoints=512, seed=0)
+    item = ds[0]
+    assert item["pts"].shape == (512, 3)
+    assert item["init_box"].shape == (7,)
+    # Points were cropped from the GT box and the init box is a slightly noisy GT:
+    # the canonicalized cloud must hug the origin within half-dims + noise.
+    assert np.abs(item["pts"]).max() < np.max(item["init_box"][3:6]) + 1.0
+    # mask label: most merged-GT-box points lie in the GT box.
+    assert item["mask_label"].mean() > 0.5
+    # center label is the GT center in the best frame's vehicle coords, so the
+    # init box center (noisy GT) must be close to it.
+    np.testing.assert_allclose(item["init_box"][:3], item["center_label"], atol=0.5)
+    # size labels decode back to GT dims
+    from tdal.core.codecs import MEAN_SIZE_ARR
+
+    dims = MEAN_SIZE_ARR[item["size_class_label"]] + item["size_residuals_label"]
+    np.testing.assert_allclose(dims, item["bbox_gt"][3:6], atol=1e-4)
+
+
+def test_dynamic_track_dataset_labels(scene_setup):
+    root, infos, scene, annos = scene_setup
+    track = scene.make_track_data(box_noise=0.02, only="dynamic")
+    ds = DynamicTrackDataset(track, annos, npoints=128, r=2, s=50, seed=0)
+    assert len(ds) == 2 * 8  # 2 dynamic tracks x 8 frames
+    item = ds[3]
+    assert item["pts"].shape == (5 * 128, 4)
+    assert item["boxes"].shape == (101, 8)
+    # time channel of the center frame chunk is 0
+    mid = item["pts"][2 * 128 : 3 * 128, 3]
+    np.testing.assert_allclose(mid, 0.0, atol=1e-6)
+    # box trajectory: center slot is the (zeroed) init box
+    np.testing.assert_allclose(item["boxes"][50, :3], 0.0, atol=1e-6)
+    np.testing.assert_allclose(item["boxes"][50, 6], 0.0, atol=1e-6)
+    # center-frame mask labels mostly inside (points cropped from GT box)
+    m = item["mask_label"].reshape(5, 128)
+    assert m[2].mean() > 0.5
+    # center label: GT center minus init box center, small since boxes are noisy GT
+    assert np.linalg.norm(item["center_label"]) < 0.5
+
+
+def test_dynamic_resample_on_missing_gt(scene_setup):
+    root, infos, scene, annos = scene_setup
+    track = scene.make_track_data(box_noise=0.02, only="dynamic")
+    # Corrupt one track's match so its GT is never found -> items resample others.
+    k = list(track)[0]
+    track[k] = dict(track[k], match=["nonexistent"] * len(track[k]["match"]))
+    ds = DynamicTrackDataset(track, annos, npoints=64, seed=0)
+    item = ds[0]  # index 0 belongs to the corrupted track; must still return
+    assert item["pts"].shape == (5 * 64, 4)
+
+
+def test_preprocess_tracks_drops_unmatched(scene_setup):
+    root, infos, scene, annos = scene_setup
+    track = scene.make_track_data(only="static")
+    k = list(track)[0]
+    track[k] = dict(track[k], match=["nonexistent"] * len(track[k]["match"]))
+    train, val = preprocess_tracks(dict(track), annos, ratio=0.5, seed=0)
+    assert len(train) + len(val) == len(track) - 1
+
+
+def test_batch_iterator_fixed_shapes(scene_setup):
+    root, infos, scene, annos = scene_setup
+    track = scene.make_track_data(only="static")
+    ds = StaticTrackDataset(track, annos, npoints=256)
+    batches = list(batch_iterator(ds, batch_size=3, pad_to_full=True))
+    assert all(b["pts"].shape == (3, 256, 3) for b in batches)
+    assert batches[-1]["n_valid"] == len(ds) - 3 * (len(batches) - 1) or batches[-1]["n_valid"] == 3
