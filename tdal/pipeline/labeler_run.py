@@ -1,0 +1,358 @@
+"""Labeler stage orchestration: epoch training, final-box prediction, postprocessing.
+
+Host-side drivers around the jit'd engine, with capability parity to:
+- tools/static_train.py:53-166 / dynamic_train.py:37-133  (epoch loop, per-epoch eval,
+  best-checkpoint-by-eval-acc saving)
+- tools/static_eval.py:256-290 / dynamic_eval.py:213-244   (test_one_epoch decode)
+- tools/static_eval.py:62-167 / dynamic_eval.py:43-141     (postprocessing: broadcast
+  refined boxes to every frame, corner-IoU metrics vs GT, patch det_annos rows)
+- tools/static_init.py:58-241                               (no-learning IoU baselines)
+
+Metric formulation matches the reference exactly (both boxes' headings taken relative
+to the per-frame init heading, fpointnet corner-IoU axis quirk included), but the
+per-box Shapely python loop is replaced by one vectorized JAX call over all frames.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from tdal.core.iou import labeler_box3d_iou
+from tdal.data.track_datasets import batch_iterator
+from tdal.data.waymo_schema import AnnoStore, box7_from_box9, transform_box_np
+from tdal.pipeline.labeler_engine import average_metrics, make_steps
+from tdal.runtime.checkpoint import CheckpointManager
+from tdal.runtime.train_state import TrainState
+
+VEHICLE_TYPE = 1
+CYCLIST_TYPE = 4
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+
+def train_labeler(
+    model,
+    loss_fn,
+    inputs_fn,
+    state: TrainState,
+    train_ds,
+    val_ds,
+    n_epoch: int,
+    batch_size: int,
+    rng,
+    logger,
+    ckpt_dir=None,
+    mesh=None,
+    seed: int = 0,
+):
+    """Epoch loop with per-epoch eval and best-checkpoint selection.
+
+    Best metric is eval iou3d_acc@0.7 (parity: static_train.py:149-165)."""
+    from tdal.parallel.mesh import shard_batch
+
+    train_step, eval_step = make_steps(model, loss_fn, inputs_fn)
+    mgr = CheckpointManager(ckpt_dir) if ckpt_dir is not None else None
+    best_acc, best_meta = -1.0, {}
+
+    def run_eval(st):
+        ms = []
+        for batch in batch_iterator(val_ds, batch_size, pad_to_full=True):
+            for k in ("n_valid", "token", "track_id"):
+                batch.pop(k, None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            m, _ = eval_step(st, batch)
+            ms.append(m)
+        return average_metrics(ms)
+
+    for epoch in range(n_epoch):
+        ms = []
+        for batch in batch_iterator(
+            train_ds, batch_size, shuffle=True, seed=seed + epoch, drop_last=True
+        ):
+            for k in ("n_valid", "token", "track_id"):
+                batch.pop(k, None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, m = train_step(state, batch, rng)
+            ms.append(m)
+        train_m = average_metrics(ms)
+        logger.info(f"=== Epoch [{epoch + 1}/{n_epoch}] ===")
+        logger.info(
+            f"[Train] loss: {train_m.get('total_loss', float('nan')):.4f}, "
+            f"seg acc: {train_m.get('seg_acc', float('nan')):.4f}"
+        )
+        logger.info(
+            f"[Train] Box IoU (2D/3D): {train_m.get('iou2d', 0):.4f}/"
+            f"{train_m.get('iou3d', 0):.4f}; acc@0.7: {train_m.get('iou3d_acc_07', 0):.4f}"
+        )
+
+        eval_m = run_eval(state)
+        logger.info(
+            f"[Eval] loss: {eval_m.get('total_loss', float('nan')):.4f}, "
+            f"seg acc: {eval_m.get('seg_acc', float('nan')):.4f}"
+        )
+        logger.info(
+            f"[Eval] Box IoU (2D/3D): {eval_m.get('iou2d', 0):.4f}/"
+            f"{eval_m.get('iou3d', 0):.4f}; acc@0.7: {eval_m.get('iou3d_acc_07', 0):.4f}"
+        )
+        acc = eval_m.get("iou3d_acc_07", 0.0)
+        if acc >= best_acc:
+            best_acc = acc
+            best_meta = {"epoch": epoch + 1, "eval_iou3d_acc": acc, **eval_m}
+            if mgr is not None:
+                mgr.save(
+                    int(state.step),
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    meta=best_meta,
+                    is_best=True,
+                )
+    return state, best_meta
+
+
+# ---------------------------------------------------------------------------
+# Final-box prediction
+# ---------------------------------------------------------------------------
+
+
+def decode_final_boxes_np(output, init_box: np.ndarray, kind: str) -> np.ndarray:
+    """Decode a batch of model outputs to (B, 7) boxes, numpy.
+
+    kind: 'static_one' | 'static_two' | 'dynamic'. Parity:
+    static_eval.test_one_epoch (:276-287) and dynamic_eval.test_one_epoch (:228-242)."""
+    hs = np.asarray(output["heading_scores"])
+    hr = np.asarray(output["heading_residuals"])
+    ss = np.asarray(output["size_scores"])
+    sr = np.asarray(output["size_residuals"])
+    center = np.asarray(output["center"]).copy()
+    b = hs.shape[0]
+    from tdal.core.codecs import MEAN_SIZE_ARR
+
+    h_cls = hs.argmax(1)
+    h_res = hr[np.arange(b), h_cls]
+    s_cls = ss.argmax(1)
+    s_res = sr[np.arange(b), s_cls]
+    angle_per = 2 * np.pi / 12
+    heading = h_cls * angle_per + h_res
+    heading = np.where(heading > np.pi, heading - 2 * np.pi, heading)
+    size = MEAN_SIZE_ARR[s_cls] + s_res
+    if kind == "static_one":
+        heading = heading + init_box[:, 6]
+    elif kind == "static_two":
+        heading = heading + np.asarray(output["box_one"])[:, 6]
+    elif kind == "dynamic":
+        heading = heading + init_box[:, 6]
+        center = center + init_box[:, :3]
+    else:
+        raise ValueError(kind)
+    return np.concatenate([center, size, heading[:, None]], axis=1)
+
+
+def predict_final_boxes(model, state: TrainState, dataset, inputs_fn, kind: str, batch_size: int = 64) -> np.ndarray:
+    """Ordered inference over a dataset -> (len(dataset), 7) final boxes."""
+
+    @jax.jit
+    def fwd(st, *inputs):
+        return model.apply(
+            {"params": st.params, "batch_stats": st.batch_stats}, *inputs, train=False
+        )
+
+    boxes = []
+    for batch in batch_iterator(dataset, batch_size, pad_to_full=True):
+        n_valid = batch.pop("n_valid")
+        out = fwd(state, *inputs_fn(batch))
+        decoded = decode_final_boxes_np(out, np.asarray(batch["init_box"]), kind)
+        boxes.append(decoded[:n_valid])
+    return (
+        np.concatenate(boxes, axis=0) if boxes else np.zeros((0, 7))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Postprocessing: metrics + det_annos patching
+# ---------------------------------------------------------------------------
+
+
+def sort_detections(det_annos):
+    """Sort det_annos by frame_id. Parity: static_eval.py:169-176."""
+    order = np.argsort(np.array([d["frame_id"] for d in det_annos]))
+    return [det_annos[i] for i in order]
+
+
+def build_token2idx(infos: Dict[str, dict], annos: AnnoStore, det_annos) -> Dict[str, int]:
+    """token -> det_annos index, via the frame_id naming convention
+    (static_eval.py:326-334)."""
+    annos2idx = {d["frame_id"]: i for i, d in enumerate(det_annos)}
+    token2idx = {}
+    for token in infos:
+        a = annos.get(token)["annos"]
+        fid = f"segment-{a['scene_name']}_with_camera_labels_{a['frame_id']:03d}"
+        token2idx[token] = annos2idx[fid]
+    return token2idx
+
+
+def _relative_iou_metrics(pred_boxes, gt_boxes, init_headings, types, logger, tag):
+    """Vectorized reference-metric computation: both headings taken relative to the
+    init heading, corner IoU via labeler_box3d_iou; acc@0.7 veh / @0.5 cyc."""
+    if len(pred_boxes) == 0:
+        logger.info(f"[{tag}] no samples")
+        return 0.0, 0.0, 0.0
+    pred = np.asarray(pred_boxes, np.float64).copy()
+    gt = np.asarray(gt_boxes, np.float64).copy()
+    ih = np.asarray(init_headings, np.float64)
+    types = np.asarray(types)
+
+    def _rel(h, base):
+        # angle2class -> class2angle roundtrip: mod 2pi then shift to (-pi, pi]
+        a = (h - base) % (2 * np.pi)
+        return np.where(a > np.pi, a - 2 * np.pi, a)
+
+    pred[:, 6] = _rel(pred[:, 6], ih)
+    gt[:, 6] = _rel(gt[:, 6], ih)
+    iou3d, iou2d = labeler_box3d_iou(pred, gt)
+    iou3d, iou2d = np.asarray(iou3d), np.asarray(iou2d)
+    thresh = np.where(types == CYCLIST_TYPE, 0.5, 0.7)
+    acc = (iou3d >= thresh).astype(np.float64)
+    m2, m3, ma = float(iou2d.mean()), float(iou3d.mean()), float(acc.mean())
+    logger.info(f"[{tag}] Box IoU (2D/3D): {m2:.4f}/{m3:.4f}")
+    logger.info(f"[{tag}] Box estimation accuracy: {ma:.4f}")
+    return m2, m3, ma
+
+
+def _patch_det_annos(det_annos, token2idx, token, frame_box, new_box):
+    """Overwrite the det_annos row whose center is within 0.1m of frame_box
+    (static_eval.py:148-155). Returns True when patched."""
+    if token2idx is None or det_annos is None:
+        return False
+    rows = det_annos[token2idx[token]]["boxes_lidar"]
+    d = np.linalg.norm(rows[:, :3] - frame_box[:3], axis=1)
+    k = int(np.argmin(d)) if len(d) else -1
+    if k >= 0 and d[k] < 0.1:
+        rows[k, :] = new_box
+        return True
+    return False
+
+
+def postprocess_static(track, annos: AnnoStore, final_bboxes, logger, det_annos=None, token2idx=None):
+    """Broadcast each track's refined box to all its frames; metrics + patching.
+
+    Parity: static_eval.postprocessing (static_eval.py:62-167). final_bboxes (T, 7)
+    are in each track's best-score frame vehicle coords."""
+    preds, gts, inits, types = [], [], [], []
+    n_patched = 0
+    for i, (key, value) in enumerate(track.items()):
+        score = np.stack(value["score"])
+        tokens = value["token"]
+        best = int(np.argmax(score))
+        pose_best = annos.pose(tokens[best])  # best-frame vehicle -> global
+        final_global = transform_box_np(final_bboxes[None, i], pose_best)[0]
+        best_box_global = np.asarray(value["bbox"][best], np.float64)
+        for j, t in enumerate(tokens):
+            inv = annos.inv_pose(t)
+            frame_box = transform_box_np(
+                np.asarray(value["bbox"][j], np.float64)[None], inv
+            )[0]
+            final_f = transform_box_np(final_global[None], inv)[0]
+            init_f = transform_box_np(best_box_global[None], inv)[0]
+            obj = annos.find_object(t, value["match"][-1])
+            patched = _patch_det_annos(det_annos, token2idx, t, frame_box, final_f)
+            n_patched += patched
+            if obj is None:
+                continue
+            preds.append(final_f)
+            gts.append(box7_from_box9(np.asarray(obj["box"], np.float64)))
+            inits.append(init_f[6])
+            types.append(value["type"][j])
+    metrics = _relative_iou_metrics(preds, gts, inits, types, logger, "Eval")
+    if det_annos is not None:
+        logger.info(f"patched {n_patched} det_annos rows")
+    return metrics
+
+
+def postprocess_dynamic(track, annos: AnnoStore, final_bboxes, logger, det_annos=None, token2idx=None):
+    """Per-frame refined boxes (already in each frame's vehicle coords); metrics +
+    patching. Parity: dynamic_eval.postprocessing (dynamic_eval.py:43-141).
+
+    Heading/size class encoding there is relative to 0 (angle2class(final heading)),
+    i.e. absolute headings in frame coords."""
+    preds, gts, types = [], [], []
+    n_patched = 0
+    index = 0
+    for key, value in track.items():
+        tokens = value["token"]
+        for j, t in enumerate(tokens):
+            inv = annos.inv_pose(t)
+            frame_box = transform_box_np(
+                np.asarray(value["bbox"][j], np.float64)[None], inv
+            )[0]
+            final_f = final_bboxes[index + j]
+            obj = annos.find_object(t, value["match"][-1])
+            patched = _patch_det_annos(det_annos, token2idx, t, frame_box, final_f)
+            n_patched += patched
+            if obj is None:
+                continue
+            preds.append(final_f)
+            gts.append(box7_from_box9(np.asarray(obj["box"], np.float64)))
+            types.append(value["type"][j])
+        index += len(tokens)
+    metrics = _relative_iou_metrics(
+        preds, gts, np.zeros(len(preds)), types, logger, "Eval"
+    )
+    if det_annos is not None:
+        logger.info(f"patched {n_patched} det_annos rows")
+    return metrics
+
+
+def calculate_init_iou(track, annos: AnnoStore, logger):
+    """No-learning baseline 1: raw per-frame detection boxes vs GT.
+
+    Parity: static_init.calculate_init_iou (static_init.py:58-141)."""
+    preds, gts, inits, types = [], [], [], []
+    for key, value in track.items():
+        for j, t in enumerate(value["token"]):
+            inv = annos.inv_pose(t)
+            init_f = transform_box_np(
+                np.asarray(value["bbox"][j], np.float64)[None], inv
+            )[0]
+            obj = annos.find_object(t, value["match"][-1])
+            if obj is None:
+                continue
+            preds.append(init_f)
+            gts.append(box7_from_box9(np.asarray(obj["box"], np.float64)))
+            inits.append(init_f[6])
+            types.append(value["type"][j])
+    return _relative_iou_metrics(preds, gts, inits, types, logger, "Init")
+
+
+def calculate_static_iou(track, annos: AnnoStore, logger, det_annos=None, token2idx=None):
+    """No-learning baseline 2: best-score box broadcast to every frame.
+
+    Parity: static_init.calculate_static_iou (static_init.py:143-241)."""
+    preds, gts, inits, types = [], [], [], []
+    n_patched = 0
+    for key, value in track.items():
+        score = np.stack(value["score"])
+        best = int(np.argmax(score))
+        best_box_global = np.asarray(value["bbox"][best], np.float64)
+        for j, t in enumerate(value["token"]):
+            inv = annos.inv_pose(t)
+            frame_box = transform_box_np(
+                np.asarray(value["bbox"][j], np.float64)[None], inv
+            )[0]
+            static_f = transform_box_np(best_box_global[None], inv)[0]
+            obj = annos.find_object(t, value["match"][-1])
+            patched = _patch_det_annos(det_annos, token2idx, t, frame_box, static_f)
+            n_patched += patched
+            if obj is None:
+                continue
+            preds.append(static_f)
+            gts.append(box7_from_box9(np.asarray(obj["box"], np.float64)))
+            inits.append(static_f[6])
+            types.append(value["type"][j])
+    return _relative_iou_metrics(preds, gts, inits, types, logger, "Static")
