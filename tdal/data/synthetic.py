@@ -53,6 +53,7 @@ class SyntheticScene:
         n_background: int = 2048,
         seed: int = 0,
     ):
+        self.scene_id = scene_id
         self.scene_name = f"synthetic_{scene_id:03d}"
         self.n_frames = n_frames
         self.rng = np.random.default_rng(seed + 1000 * scene_id)
@@ -90,7 +91,9 @@ class SyntheticScene:
         return np.concatenate([c, obj["dims"], obj["vel"], [obj["heading"]]])
 
     def frame_token(self, frame: int) -> str:
-        return f"{self.scene_name}_frame_{frame:03d}"
+        # Reference token format: the per-frame filename 'seq_{id}_frame_{fid}.pkl'
+        # (waymo_common._fill_infos:327-328) — tooling parses seq/frame ids from it.
+        return f"seq_{self.scene_id}_frame_{frame}.pkl"
 
     def frame(self, frame: int) -> dict:
         """Returns {'token', 'pose', 'points' (vehicle frame), 'objects': [anno objs]}."""

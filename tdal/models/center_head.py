@@ -1,0 +1,267 @@
+"""CenterPoint detection head: per-task SepHeads, CenterNet losses, box decode + NMS.
+
+Capability parity with reference ``det3d/models/bbox_heads/center_head.py``:
+- ``SepHead`` / ``CenterHead``      (:65-110, :167-244): shared 3x3 conv then per-task
+  branches {hm, reg, height, dim, rot[, vel]}, hm bias init -2.19.
+- ``fast_focal_loss`` / ``reg_loss`` (losses/centernet_loss.py:6-54): CornerNet-style
+  penalty-reduced focal over the heatmap + masked-index-gathered L1.
+- ``center_head_loss``               (:250-291): hm loss + weighted code-L1.
+- ``decode_preds`` / ``post_process`` (:293-495): sigmoid/exp/atan2 decode to world
+  boxes, score + center-range masking, rotated NMS — all fixed-shape, one XLA program
+  (the reference's per-sample Python loop + CUDA nms_gpu becomes a vmap'd masked
+  suppression loop from tdal.core.nms).
+
+Layout is NHWC; targets come from tdal.core.targets.assign_centernet_targets.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tdal.core.nms import rotated_nms
+from tdal.models.layers import ConvBNReLU
+
+
+class SepHead(nn.Module):
+    """Separate conv branches per output name. heads: {name: (out_ch, num_conv)}."""
+
+    heads: dict
+    head_conv: int = 64
+    final_kernel: int = 3
+    init_bias: float = -2.19
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = {}
+        for name, (classes, num_conv) in self.heads.items():
+            h = x
+            for _ in range(num_conv - 1):
+                h = nn.Conv(
+                    self.head_conv,
+                    (self.final_kernel, self.final_kernel),
+                    padding="SAME",
+                    use_bias=True,
+                    dtype=self.dtype,
+                )(h)
+                h = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                    dtype=self.dtype,
+                )(h)
+                h = nn.relu(h)
+            bias_init = (
+                nn.initializers.constant(self.init_bias)
+                if name == "hm"
+                else nn.initializers.zeros
+            )
+            h = nn.Conv(
+                classes,
+                (self.final_kernel, self.final_kernel),
+                padding="SAME",
+                use_bias=True,
+                bias_init=bias_init,
+                dtype=self.dtype,
+            )(h)
+            out[name] = h
+        return out
+
+
+class CenterHead(nn.Module):
+    """x (B, H, W, Cin) -> list of per-task dicts of NHWC maps."""
+
+    tasks: Sequence[dict] = (dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"]),)
+    common_heads: dict = None
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    init_bias: float = -2.19
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        common = self.common_heads or {
+            "reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)
+        }
+        x = nn.Conv(
+            self.share_conv_channel, (3, 3), padding="SAME", use_bias=True,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=1e-3,
+            dtype=self.dtype,
+        )(x)
+        x = nn.relu(x)
+        rets = []
+        for task in self.tasks:
+            heads = dict(common)
+            heads["hm"] = (len(task["class_names"]), self.num_hm_conv)
+            rets.append(
+                SepHead(
+                    heads, final_kernel=3, init_bias=self.init_bias, dtype=self.dtype
+                )(x, train)
+            )
+        return rets
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def _gather_feat(feat, ind):
+    """feat (B, HW, C), ind (B, M) -> (B, M, C)."""
+    return jnp.take_along_axis(feat, ind[..., None], axis=1)
+
+
+def fast_focal_loss(out, target, ind, mask, cat):
+    """out/target (B, H, W, C) in [0,1]; ind/mask/cat (B, M).
+
+    Parity: losses/centernet_loss.py:26-54 (CornerNet penalty-reduced focal)."""
+    b = out.shape[0]
+    gt = jnp.power(1 - target, 4)
+    neg_loss = (jnp.log(1 - out) * jnp.power(out, 2) * gt).sum()
+
+    flat = out.reshape(b, -1, out.shape[-1])
+    pos_pred = jnp.take_along_axis(
+        _gather_feat(flat, ind), cat[..., None], axis=2
+    )[..., 0]  # (B, M)
+    num_pos = mask.sum()
+    pos_loss = (
+        jnp.log(pos_pred) * jnp.power(1 - pos_pred, 2) * mask
+    ).sum()
+    return jnp.where(num_pos == 0, -neg_loss, -(pos_loss + neg_loss) / jnp.maximum(num_pos, 1))
+
+
+def reg_loss(output, mask, ind, target):
+    """output (B, H, W, D); mask/ind (B, M); target (B, M, D) -> per-dim L1 (D,).
+
+    Parity: losses/centernet_loss.py:6-24."""
+    b = output.shape[0]
+    pred = _gather_feat(output.reshape(b, -1, output.shape[-1]), ind)
+    m = mask.astype(pred.dtype)[..., None]
+    loss = jnp.abs(pred * m - target * m) / (m.sum() + 1e-4)
+    return loss.sum(axis=(0, 1))
+
+
+def center_head_loss(preds_dicts, targets, code_weights, weight: float = 2.0, has_vel: bool = False):
+    """Total CenterHead loss over tasks. targets: dict of per-task lists
+    {hm, anno_box, ind, mask, cat}. Parity: center_head.py:250-291."""
+    total, logs = 0.0, {}
+    for task_id, preds in enumerate(preds_dicts):
+        hm = jnp.clip(jax.nn.sigmoid(preds["hm"]), 1e-4, 1 - 1e-4)
+        hm_loss = fast_focal_loss(
+            hm,
+            targets["hm"][task_id],
+            targets["ind"][task_id],
+            targets["mask"][task_id].astype(jnp.float32),
+            targets["cat"][task_id],
+        )
+        target_box = targets["anno_box"][task_id]
+        parts = [preds["reg"], preds["height"], preds["dim"]]
+        if has_vel:
+            parts.append(preds["vel"])
+        else:
+            target_box = target_box[..., [0, 1, 2, 3, 4, 5, -2, -1]]
+        parts.append(preds["rot"])
+        anno_box_pred = jnp.concatenate(parts, axis=-1)
+        box_loss = reg_loss(
+            anno_box_pred,
+            targets["mask"][task_id],
+            targets["ind"][task_id],
+            target_box,
+        )
+        loc_loss = (box_loss * jnp.asarray(code_weights, box_loss.dtype)).sum()
+        loss = hm_loss + weight * loc_loss
+        total = total + loss
+        logs[f"hm_loss_task{task_id}"] = hm_loss
+        logs[f"loc_loss_task{task_id}"] = loc_loss
+        logs[f"num_positive_task{task_id}"] = targets["mask"][task_id].sum()
+    logs["loss"] = total
+    return total, logs
+
+
+# ---------------------------------------------------------------------------
+# Decode + post-process
+# ---------------------------------------------------------------------------
+
+
+def decode_preds(preds, test_cfg):
+    """Per-task NHWC maps -> (batch_box_preds (B, HW, 7|9), batch_hm (B, HW, C)).
+
+    Parity: center_head.py:342-424 (sigmoid hm, exp dims, atan2 rot, grid offsets to
+    world coords)."""
+    hm = jax.nn.sigmoid(preds["hm"])
+    b, H, W, num_cls = hm.shape
+    dim = jnp.exp(jnp.clip(preds["dim"], -10.0, 10.0))
+    rot = jnp.arctan2(preds["rot"][..., 0:1], preds["rot"][..., 1:2])
+    reg = preds["reg"]
+    hei = preds["height"]
+
+    ys, xs = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    xs = xs[None, ..., None] + reg[..., 0:1]
+    ys = ys[None, ..., None] + reg[..., 1:2]
+    xs = xs * test_cfg["out_size_factor"] * test_cfg["voxel_size"][0] + test_cfg["pc_range"][0]
+    ys = ys * test_cfg["out_size_factor"] * test_cfg["voxel_size"][1] + test_cfg["pc_range"][1]
+
+    parts = [xs, ys, hei, dim]
+    if "vel" in preds:
+        parts.append(preds["vel"])
+    parts.append(rot)
+    boxes = jnp.concatenate(parts, axis=-1).reshape(b, H * W, -1)
+    return boxes, hm.reshape(b, H * W, num_cls)
+
+
+def post_process_task(batch_box_preds, batch_hm, test_cfg):
+    """Masked top-k + rotated NMS, fixed shapes.
+
+    Returns dict of (B, post_max) arrays: box3d_lidar, scores, label_preds, valid.
+    Parity: center_head.py:450-495 (score threshold, post-center-range mask, NMS)."""
+    pre_max = int(test_cfg["nms"]["nms_pre_max_size"])
+    post_max = int(test_cfg["nms"]["nms_post_max_size"])
+    iou_thr = float(test_cfg["nms"]["nms_iou_threshold"])
+    score_thr = float(test_cfg["score_threshold"])
+    pcr = jnp.asarray(test_cfg["post_center_limit_range"])
+
+    scores = batch_hm.max(axis=-1)
+    labels = batch_hm.argmax(axis=-1)
+    dist_ok = (batch_box_preds[..., :3] >= pcr[:3]).all(-1) & (
+        batch_box_preds[..., :3] <= pcr[3:]).all(-1)
+    ok = (scores > score_thr) & dist_ok
+    masked_scores = jnp.where(ok, scores, -jnp.inf)
+
+    def one(boxes, sc, lb):
+        nms_boxes = boxes[:, jnp.array([0, 1, 2, 3, 4, 5, boxes.shape[-1] - 1])]
+        idx, valid = rotated_nms(
+            nms_boxes, sc, iou_thr, pre_max_size=pre_max, post_max_size=post_max
+        )
+        return boxes[idx], sc[idx], lb[idx], valid
+
+    sel_boxes, sel_scores, sel_labels, valid = jax.vmap(one)(
+        batch_box_preds, masked_scores, labels
+    )
+    return {
+        "box3d_lidar": sel_boxes,
+        "scores": jnp.where(valid, sel_scores, -jnp.inf),
+        "label_preds": sel_labels,
+        "valid": valid,
+    }
+
+
+def predict(preds_dicts, test_cfg, num_classes: Sequence[int]):
+    """Full multi-task prediction: decode + NMS per task, labels offset per task,
+    results concatenated along the box axis. Parity: center_head.py:293-448."""
+    outs = []
+    flag = 0
+    for task_id, preds in enumerate(preds_dicts):
+        boxes, hm = decode_preds(preds, test_cfg)
+        r = post_process_task(boxes, hm, test_cfg)
+        r["label_preds"] = r["label_preds"] + flag
+        flag += num_classes[task_id]
+        outs.append(r)
+    return {
+        k: jnp.concatenate([o[k] for o in outs], axis=1)
+        for k in ("box3d_lidar", "scores", "label_preds", "valid")
+    }

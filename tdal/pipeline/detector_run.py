@@ -1,0 +1,135 @@
+"""Detector training / inference drivers (used by tools/train.py, tools/dist_test.py).
+
+The functional replacement for the reference's torchie Trainer + train_detector flow
+(torchie/apis/train.py:252-327, trainer.py:130-595): epoch loop over the host data
+pipeline, one jit'd step, OneCycle'd AdamW, periodic checkpoints, windowed metric
+logging, mesh-sharded batches.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tdal.data.detection import collate_detection
+from tdal.data.track_datasets import Prefetcher
+from tdal.pipeline.detector_engine import make_detector_steps, predictions_to_host
+from tdal.runtime.checkpoint import CheckpointManager
+from tdal.runtime.logging_utils import LogBuffer
+from tdal.runtime.train_state import TrainState
+
+
+def detection_batches(dataset, batch_size, shuffle=False, seed=0, pad_to_full=True, prefetch=True):
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+
+    def gen():
+        for start in range(0, n, batch_size):
+            sel = idx[start : start + batch_size]
+            if len(sel) < batch_size:
+                if pad_to_full:
+                    sel = np.concatenate(
+                        [sel, np.full(batch_size - len(sel), sel[-1])]
+                    )
+                else:
+                    return
+            batch = collate_detection([dataset[int(i)] for i in sel])
+            batch["n_valid"] = min(batch_size, n - start)
+            yield batch
+
+    return Prefetcher(gen()) if prefetch else gen()
+
+
+def train_detector(
+    detector,
+    state: TrainState,
+    train_ds,
+    test_cfg: dict,
+    code_weights,
+    n_epoch: int,
+    batch_size: int,
+    logger,
+    work_dir,
+    weight: float = 2.0,
+    mesh=None,
+    log_every: int = 10,
+    seed: int = 0,
+):
+    from tdal.parallel.mesh import shard_batch
+
+    train_step, _ = make_detector_steps(detector, test_cfg, code_weights, weight)
+    mgr = CheckpointManager(Path(work_dir) / "checkpoints")
+    buf = LogBuffer()
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+
+    for epoch in range(n_epoch):
+        t0 = time.time()
+        for i, batch in enumerate(
+            detection_batches(train_ds, batch_size, shuffle=True, seed=seed + epoch)
+        ):
+            batch.pop("n_valid", None)
+            batch.pop("token", None)
+            batch.pop("gt_boxes_and_cls", None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            state, logs = train_step(state, batch)
+            buf.update({k: float(v) for k, v in logs.items()})
+            if (i + 1) % log_every == 0:
+                buf.average(log_every)
+                msg = ", ".join(f"{k}: {v:.4f}" for k, v in buf.output.items())
+                logger.info(
+                    f"Epoch [{epoch + 1}/{n_epoch}][{i + 1}/{steps_per_epoch}] {msg}"
+                )
+                buf.clear_output()
+        logger.info(f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s")
+        mgr.save(
+            int(state.step),
+            {"params": state.params, "batch_stats": state.batch_stats},
+            meta={"epoch": epoch + 1},
+        )
+    return state
+
+
+def run_inference(
+    detector,
+    state: TrainState,
+    dataset,
+    test_cfg: dict,
+    code_weights,
+    batch_size: int,
+    logger,
+    speed_test: bool = False,
+):
+    """Inference over a dataset -> {token: {box3d_lidar, scores, label_preds}}.
+
+    Parity: tools/dist_test.py:139-209 incl. the middle-third speed measurement."""
+    _, predict_step = make_detector_steps(
+        detector, test_cfg, code_weights, donate=False
+    )
+    detections = {}
+    n_batches = (len(dataset) + batch_size - 1) // batch_size
+    start_idx, times = n_batches // 3, []
+    for bi, batch in enumerate(
+        detection_batches(dataset, batch_size, shuffle=False)
+    ):
+        n_valid = batch.pop("n_valid")
+        tokens = batch.pop("token")
+        t0 = time.time()
+        preds = predict_step(state, jax.numpy.asarray(batch["points"]))
+        preds = jax.tree_util.tree_map(lambda x: x.block_until_ready(), preds)
+        dt = time.time() - t0
+        if speed_test and bi >= start_idx and bi < 2 * start_idx:
+            times.append(dt / batch_size)
+        host = predictions_to_host(preds, tokens[:n_valid])
+        detections.update(host)
+        if (bi + 1) % 20 == 0:
+            logger.info(f"inference {bi + 1}/{n_batches}")
+    if speed_test and times:
+        logger.info(f"Total time per frame: {np.mean(times):.4f}s (middle third)")
+    return detections
