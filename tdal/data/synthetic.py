@@ -147,15 +147,16 @@ class SyntheticScene:
     # On-disk emission (bit-compatible with the reference converter output)
     # ------------------------------------------------------------------
 
-    def write(self, root: str | Path) -> List[dict]:
-        """Write lidar/anno pickles; return the infos list for this scene."""
-        root = Path(root)
+    def write(self, root: str | Path, split: str | None = None) -> List[dict]:
+        """Write lidar/anno pickles (filenames == tokens, reference layout
+        <root>[/<split>]/lidar|annos/seq_X_frame_Y.pkl); return the infos list."""
+        root = Path(root) if split is None else Path(root) / split
         infos = []
         for f in range(self.n_frames):
             fr = self.frame(f)
             token = fr["token"]
-            lidar_path = root / "lidar" / f"seq_{self.scene_name}_{token}.pkl"
-            anno_path = root / "annos" / f"seq_{self.scene_name}_{token}.pkl"
+            lidar_path = root / "lidar" / token
+            anno_path = root / "annos" / token
             dump_pickle(
                 {
                     "scene_name": self.scene_name,

@@ -1,0 +1,49 @@
+"""Data preparation CLI: infos building + GT database creation (+ optional tfrecord
+conversion).
+
+Capability parity with reference ``tools/create_data.py:10-22`` (waymo_data_prep: infos
++ gt database) plus the converter entry of ``det3d/datasets/waymo/waymo_converter.py``.
+"""
+
+import argparse
+import pickle
+
+
+def waymo_data_prep(root_path, split: str = "train", nsweeps: int = 1, gt_database: bool = True):
+    from tdal.data.gt_augment import create_groundtruth_database
+    from tdal.data.waymo_converter import create_waymo_infos
+
+    infos = create_waymo_infos(root_path, split=split, nsweeps=nsweeps)
+    if gt_database and split == "train":
+        create_groundtruth_database(infos, root_path, nsweeps=nsweeps)
+    return infos
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("waymo_data_prep", help="build infos (+ gt database)")
+    p.add_argument("--root_path", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--nsweeps", type=int, default=1)
+    p.add_argument("--no_gt_database", action="store_true")
+
+    c = sub.add_parser("waymo_convert", help="tfrecords -> per-frame pickles (needs devkit)")
+    c.add_argument("--records", nargs="+", required=True)
+    c.add_argument("--out_root", required=True)
+    c.add_argument("--split", default="train")
+
+    args = parser.parse_args()
+    if args.cmd == "waymo_data_prep":
+        waymo_data_prep(
+            args.root_path, args.split, args.nsweeps, gt_database=not args.no_gt_database
+        )
+    elif args.cmd == "waymo_convert":
+        from tdal.data.waymo_converter import convert_tfrecords
+
+        convert_tfrecords(args.records, args.out_root, args.split)
+
+
+if __name__ == "__main__":
+    main()
