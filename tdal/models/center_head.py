@@ -214,15 +214,17 @@ def decode_preds(preds, test_cfg):
     return boxes, hm.reshape(b, H * W, num_cls)
 
 
-def post_process_task(batch_box_preds, batch_hm, test_cfg):
-    """Masked top-k + rotated NMS, fixed shapes.
+def post_process_task(batch_box_preds, batch_hm, test_cfg, task_id: int = 0):
+    """Masked top-k + rotated (or circle) NMS, fixed shapes.
 
     Returns dict of (B, post_max) arrays: box3d_lidar, scores, label_preds, valid.
-    Parity: center_head.py:450-495 (score threshold, post-center-range mask, NMS)."""
+    Parity: center_head.py:450-495 (score threshold, post-center-range mask, NMS;
+    circle NMS path when test_cfg['circular_nms'] with per-task min_radius)."""
     pre_max = int(test_cfg["nms"]["nms_pre_max_size"])
     post_max = int(test_cfg["nms"]["nms_post_max_size"])
     iou_thr = float(test_cfg["nms"]["nms_iou_threshold"])
     score_thr = float(test_cfg["score_threshold"])
+    circular = bool(test_cfg.get("circular_nms", False))
     pcr = jnp.asarray(test_cfg["post_center_limit_range"])
 
     scores = batch_hm.max(axis=-1)
@@ -233,10 +235,17 @@ def post_process_task(batch_box_preds, batch_hm, test_cfg):
     masked_scores = jnp.where(ok, scores, -jnp.inf)
 
     def one(boxes, sc, lb):
-        nms_boxes = boxes[:, jnp.array([0, 1, 2, 3, 4, 5, boxes.shape[-1] - 1])]
-        idx, valid = rotated_nms(
-            nms_boxes, sc, iou_thr, pre_max_size=pre_max, post_max_size=post_max
-        )
+        if circular:
+            from tdal.core.nms import circle_nms
+
+            min_radius = test_cfg["min_radius"]
+            r = min_radius[task_id] if isinstance(min_radius, (list, tuple)) else min_radius
+            idx, valid = circle_nms(boxes[:, :2], sc, float(r), post_max_size=post_max)
+        else:
+            nms_boxes = boxes[:, jnp.array([0, 1, 2, 3, 4, 5, boxes.shape[-1] - 1])]
+            idx, valid = rotated_nms(
+                nms_boxes, sc, iou_thr, pre_max_size=pre_max, post_max_size=post_max
+            )
         return boxes[idx], sc[idx], lb[idx], valid
 
     sel_boxes, sel_scores, sel_labels, valid = jax.vmap(one)(
@@ -257,7 +266,7 @@ def predict(preds_dicts, test_cfg, num_classes: Sequence[int]):
     flag = 0
     for task_id, preds in enumerate(preds_dicts):
         boxes, hm = decode_preds(preds, test_cfg)
-        r = post_process_task(boxes, hm, test_cfg)
+        r = post_process_task(boxes, hm, test_cfg, task_id)
         r["label_preds"] = r["label_preds"] + flag
         flag += num_classes[task_id]
         outs.append(r)

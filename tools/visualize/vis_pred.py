@@ -1,0 +1,57 @@
+"""Visualize predictions vs GT per frame. Parity: tools/visualize/vis_pred.py
+(headless BEV PNGs)."""
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from tdal.data.waymo_schema import box7_from_box9, load_pickle, reorganize_info
+from tdal.utils.visualize import plot_bev
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--prediction", required=True, help="prediction.pkl")
+    parser.add_argument("--infos", required=True)
+    parser.add_argument("--out_dir", default="vis_out")
+    parser.add_argument("--n_frames", type=int, default=5)
+    parser.add_argument("--score_thresh", type=float, default=0.3)
+    args = parser.parse_args()
+
+    with open(args.prediction, "rb") as f:
+        preds = pickle.load(f)
+    with open(args.infos, "rb") as f:
+        infos = reorganize_info(pickle.load(f))
+
+    for token in list(preds)[: args.n_frames]:
+        det = preds[token]
+        info = infos[token]
+        lidar = load_pickle(info["path"])
+        anno = load_pickle(info["anno_path"])
+        gt = np.array([box7_from_box9(o["box"]) for o in anno["objects"]])
+        keep = np.asarray(det["scores"]) > args.score_thresh
+        boxes = np.asarray(det["box3d_lidar"])[keep]
+        # detector convention -> waymo for plotting
+        if len(boxes):
+            boxes = boxes.copy()
+            boxes[:, -1] = -boxes[:, -1] - np.pi / 2
+            boxes[:, [3, 4]] = boxes[:, [4, 3]]
+        out = Path(args.out_dir) / f"{token}.png"
+        plot_bev(
+            points=lidar["lidars"]["points_xyz"],
+            boxes=boxes,
+            labels=np.asarray(det["label_preds"])[keep],
+            gt_boxes=gt,
+            out_path=out,
+            title=token,
+        )
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
