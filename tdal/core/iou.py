@@ -72,31 +72,70 @@ def _points_in_quad(points: jax.Array, corners: jax.Array) -> jax.Array:
     return jnp.all(cross >= -_EPS, axis=-1) | jnp.all(cross <= _EPS, axis=-1)
 
 
+def _ccw(corners: jax.Array) -> jax.Array:
+    """Orient a convex quad's 4 corners counter-clockwise."""
+    signed = jnp.sum(
+        corners[:, 0] * jnp.roll(corners, -1, 0)[:, 1]
+        - corners[:, 1] * jnp.roll(corners, -1, 0)[:, 0]
+    )
+    return jnp.where(signed >= 0, corners, corners[::-1])
+
+
+def _edge_integral(edges_p, edges_q, clip_corners, boundary_eps):
+    """Green's-theorem contribution of directed segments clipped to a convex quad.
+
+    edges_p/edges_q (E, 2): segment endpoints (CCW direction around their polygon);
+    clip_corners (4, 2) CCW. Each segment is interval-clipped (Liang-Barsky) against
+    the quad's 4 half-planes; the surviving sub-segment contributes
+    (x0*y1 - y0*x1)/2 to the signed area. Pure elementwise math — no sort, no
+    scatter (TPU scatters serialize; this is the NMS hot primitive)."""
+    d = edges_q - edges_p  # (E, 2)
+    c0 = clip_corners  # (4, 2)
+    c1 = jnp.roll(clip_corners, -1, axis=0)
+    n_in = jnp.stack(
+        [-(c1[:, 1] - c0[:, 1]), c1[:, 0] - c0[:, 0]], axis=-1
+    )  # inward normals of CCW quad (4, 2)
+    # signed distance of p to each half-plane, and velocity along d
+    sp = jnp.einsum("ek,hk->eh", edges_p, n_in) - jnp.einsum(
+        "hk,hk->h", c0, n_in
+    )  # (E, 4): >0 inside
+    sv = jnp.einsum("ek,hk->eh", d, n_in)  # (E, 4)
+    sp = sp + boundary_eps
+
+    # t-interval where the segment is inside half-plane h: sp + t*sv >= 0
+    big = 1e9
+    safe_sv = jnp.where(jnp.abs(sv) > _EPS, sv, 1.0)
+    t_enter = jnp.where(
+        sv > _EPS, -sp / safe_sv,
+        jnp.where(sv < -_EPS, -big, jnp.where(sp >= 0, -big, big)),
+    )
+    t_exit = jnp.where(
+        sv < -_EPS, -sp / safe_sv,
+        jnp.where(sv > _EPS, big, jnp.where(sp >= 0, big, -big)),
+    )
+    t0 = jnp.clip(jnp.max(t_enter, axis=1), 0.0, 1.0)
+    t1 = jnp.clip(jnp.min(t_exit, axis=1), 0.0, 1.0)
+    valid = t1 > t0
+    p0 = edges_p + t0[:, None] * d
+    p1 = edges_p + t1[:, None] * d
+    contrib = p0[:, 0] * p1[:, 1] - p0[:, 1] * p1[:, 0]
+    return 0.5 * jnp.sum(jnp.where(valid, contrib, 0.0))
+
+
 def quad_intersection_area(corners_a: jax.Array, corners_b: jax.Array) -> jax.Array:
-    """Intersection area of two convex quads, each (4, 2). Returns scalar."""
-    inter_pts, inter_valid = _segment_intersections(corners_a, corners_b)
-    a_in_b = _points_in_quad(corners_a, corners_b)
-    b_in_a = _points_in_quad(corners_b, corners_a)
+    """Intersection area of two convex quads, each (4, 2). Returns scalar.
 
-    pts = jnp.concatenate([inter_pts, corners_a, corners_b], axis=0)  # (24, 2)
-    valid = jnp.concatenate([inter_valid, a_in_b, b_in_a], axis=0)  # (24,)
-
-    num_valid = valid.sum()
-    w = valid.astype(pts.dtype)
-    center = (pts * w[:, None]).sum(0) / jnp.maximum(num_valid, 1)
-    rel = pts - center
-    ang = jnp.arctan2(rel[:, 1], rel[:, 0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort to the end
-    order = jnp.argsort(ang)
-    rel = rel[order]
-
-    idx = jnp.arange(24)
-    nxt = jnp.where(idx + 1 < num_valid, idx + 1, 0)
-    rel_next = rel[nxt]
-    contrib = rel[:, 0] * rel_next[:, 1] - rel[:, 1] * rel_next[:, 0]
-    contrib = jnp.where(idx < num_valid, contrib, 0.0)
-    area = 0.5 * jnp.abs(contrib.sum())
-    return jnp.where(num_valid >= 3, area, 0.0)
+    The boundary of A∩B consists of the parts of A's edges inside B plus the parts
+    of B's edges inside A; the shoelace line integral decomposes over those directed
+    segments independent of traversal order, so no intersection polygon is ever
+    constructed. B's edges are clipped with a slightly *shrunk* A so a shared
+    boundary (identical/touching boxes) is counted once."""
+    a = _ccw(corners_a)
+    b = _ccw(corners_b)
+    area = _edge_integral(a, jnp.roll(a, -1, 0), b, 1e-5) + _edge_integral(
+        b, jnp.roll(b, -1, 0), a, -1e-5
+    )
+    return jnp.maximum(area, 0.0)
 
 
 def _pair_overlap_bev(box_a: jax.Array, box_b: jax.Array) -> jax.Array:

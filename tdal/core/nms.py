@@ -52,33 +52,66 @@ def rotated_nms(
     scores = jnp.asarray(scores)
     order = jnp.argsort(-scores)
     order = order[:pre_max_size]
-    m = order.shape[0]
     b = boxes[order]
     s = scores[order]
     valid_in = jnp.isfinite(s)
 
     corners = center_to_corner_box2d(b[:, :2], b[:, 3:5], b[:, 6])  # (m, 4, 2)
     areas = b[:, 3] * b[:, 4]
+    alive_scores = jnp.where(valid_in, s, -jnp.inf)
 
-    def row_fn(i):
-        ci = corners[i]
-        inter = jax.vmap(lambda cj: quad_intersection_area(ci, cj))(corners)
-        union = jnp.clip(areas[i] + areas - inter, 1e-8, None)
-        iou = inter / union
-        return (iou > iou_threshold) & valid_in & valid_in[i]
-
-    keep = _greedy_suppress(valid_in, row_fn, m)
-
-    # Compact kept entries (already in score order) to the front.
-    rank = jnp.cumsum(keep) - 1
-    out_idx = jnp.full((post_max_size,), 0, dtype=order.dtype)
-    out_valid = jnp.zeros((post_max_size,), dtype=bool)
-    take = keep & (rank < post_max_size)
-    out_idx = out_idx.at[jnp.where(take, rank, post_max_size)].set(
-        order, mode="drop"
+    # Tiled greedy loop with early exit: each iteration takes the top-T alive
+    # candidates (global score order => greedy order), resolves greedy suppression
+    # WITHIN the tile via a statically-unrolled mask recurrence, then applies the
+    # tile's kept boxes to the whole array in one vectorized (T, m) IoU block.
+    # Sequential depth <= ceil(post_max/T) TPU dispatch rounds instead of one round
+    # per candidate (the reference CUDA kernel's 64-wide bitmask blocks,
+    # iou3d_nms_kernel.cu:267-376, solve the same serialization on GPU).
+    T = min(32, post_max_size, int(b.shape[0]))
+    pair_area = jax.vmap(
+        lambda ci, cj: quad_intersection_area(ci, cj), in_axes=(None, 0)
     )
-    out_valid = out_valid.at[jnp.where(take, rank, post_max_size)].set(
-        True, mode="drop"
+
+    def cond(state):
+        k, alive_scores, out_idx, out_valid = state
+        return (k < post_max_size) & jnp.any(alive_scores > -jnp.inf)
+
+    def body(state):
+        k, alive_scores, out_idx, out_valid = state
+        tile_scores, tile_idx = jax.lax.top_k(alive_scores, T)
+        tile_valid = tile_scores > -jnp.inf
+        tc = corners[tile_idx]  # (T, 4, 2)
+        ta = areas[tile_idx]
+
+        # (T, m) IoU of tile boxes vs everything (includes the (T, T) tile block).
+        inter = jax.vmap(lambda ci: pair_area(ci, corners))(tc)
+        iou_all = inter / jnp.clip(ta[:, None] + areas[None, :] - inter, 1e-8, None)
+        iou_tile = iou_all[:, tile_idx]  # (T, T)
+        over = iou_tile > iou_threshold
+
+        keep_t = tile_valid
+        later = jnp.arange(T)[None, :] > jnp.arange(T)[:, None]
+        for i in range(T):  # static unroll: trivial vector ops per step
+            keep_t = keep_t & ~(over[i] & later[i] & keep_t[i])
+
+        # kept tile boxes suppress the whole array; the tile itself is consumed.
+        suppress_all = jnp.any(
+            (iou_all > iou_threshold) & keep_t[:, None], axis=0
+        )
+        alive_scores = jnp.where(suppress_all, -jnp.inf, alive_scores)
+        alive_scores = alive_scores.at[tile_idx].set(-jnp.inf)
+
+        ranks = k + jnp.cumsum(keep_t) - 1
+        write = keep_t & (ranks < post_max_size)
+        slot = jnp.where(write, ranks, post_max_size)
+        out_idx = out_idx.at[slot].set(order[tile_idx], mode="drop")
+        out_valid = out_valid.at[slot].set(True, mode="drop")
+        return k + keep_t.sum(), alive_scores, out_idx, out_valid
+
+    out_idx = jnp.zeros((post_max_size,), order.dtype)
+    out_valid = jnp.zeros((post_max_size,), bool)
+    _, _, out_idx, out_valid = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), alive_scores, out_idx, out_valid)
     )
     return out_idx, out_valid
 

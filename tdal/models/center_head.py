@@ -248,8 +248,15 @@ def post_process_task(batch_box_preds, batch_hm, test_cfg, task_id: int = 0):
             )
         return boxes[idx], sc[idx], lb[idx], valid
 
-    sel_boxes, sel_scores, sel_labels, valid = jax.vmap(one)(
-        batch_box_preds, masked_scores, labels
+    # Unrolled python loop over the (small, static) batch — NOT vmap/lax.map:
+    # batching the early-exit while_loop forces masked execution of every lane per
+    # iteration and degrades its scatters (measured 7s vs 0.7ms per frame on v5e).
+    per_sample = [
+        one(batch_box_preds[i], masked_scores[i], labels[i])
+        for i in range(batch_box_preds.shape[0])
+    ]
+    sel_boxes, sel_scores, sel_labels, valid = (
+        jnp.stack([p[j] for p in per_sample]) for j in range(4)
     )
     return {
         "box3d_lidar": sel_boxes,
