@@ -1,0 +1,207 @@
+"""Fused Pallas TPU kernels for the Frustum-PointNet segmentation network.
+
+The BASELINE.json north star: the labelers' shared-MLP conv1d+BN+ReLU stacks and
+per-set max-pool run as fused kernels. Under plain XLA every layer's activation
+round-trips HBM — for the seg encoder at production shapes (B=32, N=4096) the
+1024-channel activation alone is 512MB of traffic per layer. These kernels keep a
+point tile resident in VMEM through the whole layer stack:
+
+- ``fused_seg_encoder``: 5 Dense(+folded BN)+ReLU layers -> per-tile write of the
+  64-ch skip feature + running per-set max of the 1024-ch feature (revisited output
+  accumulated across the point-tile grid).
+- ``fused_seg_decoder``: concat(skip, broadcast global) -> 4 Dense+ReLU -> 2-way
+  logits, one tile pass.
+- ``fold_bn``: inference-time BN folding (w' = w * g/sqrt(v+eps),
+  b' = b_bn - mean * g/sqrt(v+eps)), matching flax BatchNorm eval semantics.
+
+Inference-path only (training keeps the flax/XLA path, whose backward XLA handles);
+``pointnet_seg_logits`` is the drop-in replacement for
+``PointNetSeg.apply(train=False)`` and is validated against it in tests (interpret
+mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ENC_FEATURES = (64, 64, 64, 128, 1024)
+DEC_FEATURES = (512, 256, 128, 128)
+ENC_TILE = 2048  # bigger tiles amortize per-step weight DMA
+DEC_TILE = 1024
+
+
+def fold_bn(dense_kernel, dense_bias, bn_scale, bn_bias, bn_mean, bn_var, eps=1e-5):
+    """Fold eval-mode BatchNorm into the preceding Dense: returns (w, b)."""
+    g = bn_scale / jnp.sqrt(bn_var + eps)
+    w = dense_kernel * g[None, :]
+    b = (dense_bias if dense_bias is not None else 0.0) * g + bn_bias - bn_mean * g
+    return w, b
+
+
+def fold_pointnet_seg_params(params, batch_stats):
+    """Extract + fold the PointNetSeg weights (tdal.models.pointnet.PointNetSeg:
+    SharedMLP_0 [64,64], SharedMLP_1 [64,128,1024], SharedMLP_2 [512,256,128,128],
+    Dense_0 logits). Returns (enc_w, enc_b, dec_w, dec_b, logit_w, logit_b)."""
+
+    def layer(scope, i):
+        p = params[scope][f"Dense_{i}"]
+        bs = batch_stats[scope][f"BatchNorm_{i}"]
+        bn = params[scope][f"BatchNorm_{i}"]
+        return fold_bn(
+            p["kernel"], p.get("bias"), bn["scale"], bn["bias"], bs["mean"], bs["var"]
+        )
+
+    enc = [layer("SharedMLP_0", 0), layer("SharedMLP_0", 1)]
+    enc += [layer("SharedMLP_1", i) for i in range(3)]
+    dec = [layer("SharedMLP_2", i) for i in range(4)]
+    logit = (params["Dense_0"]["kernel"], params["Dense_0"]["bias"])
+    enc_w, enc_b = zip(*enc)
+    dec_w, dec_b = zip(*dec)
+    return list(enc_w), list(enc_b), list(dec_w), list(dec_b), logit[0], logit[1]
+
+
+def _encoder_kernel(pts_ref, *refs):
+    """One (1, TILE_N, Cin) tile through the 5 encoder layers; accumulates gmax."""
+    n_layers = len(ENC_FEATURES)
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    skip_ref, gmax_ref = refs[2 * n_layers], refs[2 * n_layers + 1]
+
+    x = pts_ref[0]  # (TILE_N, Cin)
+    for i in range(n_layers):
+        # bf16 operands + fp32 accumulation: 2x MXU throughput, fp32-safe epilogue
+        x = jnp.maximum(
+            jnp.dot(
+                x.astype(jnp.bfloat16),
+                w_refs[i][:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b_refs[i][:],
+            0.0,
+        )
+        if i == 1:
+            skip_ref[0] = x  # 64-ch skip (PointNetSeg enc1)
+    tile_max = jnp.max(x, axis=0, keepdims=True)[None]  # (1, 1, 1024)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        gmax_ref[:] = jnp.full_like(gmax_ref, -jnp.inf)
+
+    gmax_ref[:] = jnp.maximum(gmax_ref[:], tile_max)
+
+
+def fused_seg_encoder(pts, enc_w, enc_b, interpret: bool = False):
+    """pts (B, N, Cin) -> (skip (B, N, 64), gmax (B, 1024))."""
+    b, n, cin = pts.shape
+    tile = min(ENC_TILE, n)
+    assert n % tile == 0, n
+    grid = (b, n // tile)
+    n_layers = len(ENC_FEATURES)
+    in_specs = [
+        pl.BlockSpec((1, tile, cin), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    ]
+    in_specs += [
+        pl.BlockSpec(w.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for w in enc_w
+    ]
+    in_specs += [
+        pl.BlockSpec(bb.shape, lambda i, j: (0,), memory_space=pltpu.VMEM)
+        for bb in enc_b
+    ]
+    out_specs = (
+        pl.BlockSpec((1, tile, 64), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        # gmax revisited across the point-tile axis (accumulation pattern);
+        # kept 3-D (B, 1, C) so the trailing block dims satisfy TPU tiling rules
+        pl.BlockSpec((1, 1, ENC_FEATURES[-1]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    skip, gmax = pl.pallas_call(
+        _encoder_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, 64), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, ENC_FEATURES[-1]), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pts, *enc_w, *enc_b)
+    return skip, gmax[:, 0]
+
+
+def _decoder_kernel(skip_ref, gmax_ref, *refs):
+    n_layers = len(DEC_FEATURES)
+    w_refs = refs[:n_layers]
+    b_refs = refs[n_layers : 2 * n_layers]
+    lw_ref, lb_ref, out_ref = refs[2 * n_layers :]
+
+    skip = skip_ref[0]  # (TILE_N, 64)
+    g = jnp.broadcast_to(gmax_ref[0], (skip.shape[0], gmax_ref.shape[-1]))
+    x = jnp.concatenate([skip, g], axis=-1)  # (TILE_N, 1088)
+    for i in range(n_layers):
+        x = jnp.maximum(
+            jnp.dot(
+                x.astype(jnp.bfloat16),
+                w_refs[i][:].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            + b_refs[i][:],
+            0.0,
+        )
+    out_ref[0] = (
+        jnp.dot(
+            x.astype(jnp.bfloat16),
+            lw_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        + lb_ref[:]
+    )
+
+
+def fused_seg_decoder(skip, gmax, dec_w, dec_b, logit_w, logit_b, interpret: bool = False):
+    """(skip (B, N, 64), gmax (B, 1024)) -> logits (B, N, 2)."""
+    b, n, _ = skip.shape
+    gmax3 = gmax[:, None, :]  # (B, 1, C): trailing block dims satisfy TPU tiling
+    tile = min(DEC_TILE, n)
+    assert n % tile == 0, n
+    grid = (b, n // tile)
+    in_specs = [
+        pl.BlockSpec((1, tile, 64), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, gmax.shape[1]), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    in_specs += [
+        pl.BlockSpec(w.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+        for w in dec_w
+    ]
+    in_specs += [
+        pl.BlockSpec(bb.shape, lambda i, j: (0,), memory_space=pltpu.VMEM)
+        for bb in dec_b
+    ]
+    in_specs += [
+        pl.BlockSpec(logit_w.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(logit_b.shape, lambda i, j: (0,), memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        _decoder_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile, 2), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, 2), jnp.float32),
+        interpret=interpret,
+    )(skip, gmax3, *dec_w, *dec_b, logit_w, logit_b)
+
+
+def pointnet_seg_logits(params, batch_stats, pts, interpret: bool = False):
+    """Fused inference equivalent of PointNetSeg.apply(train=False): (B, N, Cin) ->
+    logits (B, N, 2). params/batch_stats: the PointNetSeg subtree."""
+    enc_w, enc_b, dec_w, dec_b, lw, lb = fold_pointnet_seg_params(params, batch_stats)
+    skip, gmax = fused_seg_encoder(pts, enc_w, enc_b, interpret=interpret)
+    return fused_seg_decoder(skip, gmax, dec_w, dec_b, lw, lb, interpret=interpret)
