@@ -1,0 +1,152 @@
+"""The pipeline's production detector config: two-sweep VoxelNet CenterPoint with a
+frozen first stage + BEV 5-point RoIHead second stage and velocity head.
+
+Semantic parity with reference configs/waymo/voxelnet/two_stage/
+waymo_centerpoint_voxelnet_two_sweep_two_stage_bev_5point_ft_6epoch_freeze_with_vel.py
+(docs/GETTING_STARTED.md:67 names this the pipeline config).
+"""
+
+import itertools
+
+tasks = [dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"])]
+class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
+
+first_stage_cfg = dict(
+    type="VoxelNet",
+    pretrained="./work_dirs/waymo_centerpoint_voxelnet_two_sweeps_3x_with_velo/checkpoints",
+    reader=dict(type="VoxelFeatureExtractorV3", num_input_features=6),
+    backbone=dict(type="SpMiddleResNetFHD", num_input_features=6, ds_factor=8),
+    neck=dict(
+        type="RPN",
+        layer_nums=[5, 5],
+        ds_layer_strides=[1, 2],
+        ds_num_filters=[128, 256],
+        us_layer_strides=[1, 2],
+        us_num_filters=[256, 256],
+        num_input_features=256,
+    ),
+    bbox_head=dict(
+        type="CenterHead",
+        in_channels=512,
+        tasks=tasks,
+        dataset="waymo",
+        weight=2,
+        code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],
+        common_heads={
+            "reg": (2, 2), "height": (1, 2), "dim": (3, 2),
+            "vel": (2, 2), "rot": (2, 2),
+        },
+    ),
+)
+
+model = dict(
+    type="TwoStageDetector",
+    first_stage_cfg=first_stage_cfg,
+    second_stage_modules=[
+        dict(
+            type="BEVFeatureExtractor",
+            pc_start=[-75.2, -75.2],
+            voxel_size=[0.1, 0.1],
+            out_stride=8,
+        )
+    ],
+    roi_head=dict(
+        type="RoIHead",
+        input_channels=512 * 5,
+        model_cfg=dict(
+            CLASS_AGNOSTIC=True,
+            SHARED_FC=[256, 256],
+            CLS_FC=[256, 256],
+            REG_FC=[256, 256],
+            DP_RATIO=0.3,
+            TARGET_CONFIG=dict(
+                ROI_PER_IMAGE=128,
+                FG_RATIO=0.5,
+                SAMPLE_ROI_BY_EACH_CLASS=True,
+                CLS_SCORE_TYPE="roi_iou",
+                CLS_FG_THRESH=0.75,
+                CLS_BG_THRESH=0.25,
+                CLS_BG_THRESH_LO=0.1,
+                HARD_BG_RATIO=0.8,
+                REG_FG_THRESH=0.55,
+            ),
+            LOSS_CONFIG=dict(
+                CLS_LOSS="BinaryCrossEntropy",
+                REG_LOSS="L1",
+                LOSS_WEIGHTS={
+                    "rcnn_cls_weight": 1.0,
+                    "rcnn_reg_weight": 1.0,
+                    "code_weights": [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2],
+                },
+            ),
+        ),
+        code_size=9,
+    ),
+    num_point=5,
+    freeze=True,
+    NMS_POST_MAXSIZE=500,
+)
+
+assigner = dict(
+    target_assigner=dict(tasks=tasks),
+    out_size_factor=8,
+    dense_reg=1,
+    gaussian_overlap=0.1,
+    max_objs=500,
+    min_radius=2,
+)
+train_cfg = dict(assigner=assigner)
+
+test_cfg = dict(
+    post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
+    nms=dict(nms_pre_max_size=4096, nms_post_max_size=500, nms_iou_threshold=0.7),
+    score_threshold=0.1,
+    pc_range=[-75.2, -75.2],
+    out_size_factor=8,
+    voxel_size=[0.1, 0.1],
+)
+
+dataset_type = "WaymoDataset"
+nsweeps = 2
+data_root = "data/Waymo"
+
+voxel_generator = dict(
+    range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
+    voxel_size=[0.1, 0.1, 0.15],
+    max_points_in_voxel=5,
+    max_voxel_num=[180000, 400000],
+)
+
+train_preprocessor = dict(
+    mode="train",
+    shuffle_points=True,
+    global_rot_noise=[-0.78539816, 0.78539816],
+    global_scale_noise=[0.95, 1.05],
+    class_names=class_names,
+)
+
+data = dict(
+    samples_per_gpu=4,
+    workers_per_gpu=8,
+    train=dict(
+        type=dataset_type,
+        info_path=data_root + "/infos_train_02sweeps_filter_zero_gt.pkl",
+        nsweeps=nsweeps,
+        class_names=class_names,
+        max_points=400000,
+    ),
+    val=dict(
+        type=dataset_type,
+        info_path=data_root + "/infos_val_02sweeps_filter_zero_gt.pkl",
+        nsweeps=nsweeps,
+        class_names=class_names,
+        max_points=400000,
+        test_mode=True,
+    ),
+)
+
+optimizer = dict(type="adam", amsgrad=0.0, wd=0.01, fixed_wd=True, moving_average=False)
+lr_config = dict(type="one_cycle", lr_max=3e-3, moms=[0.95, 0.85], div_factor=10.0, pct_start=0.4)
+grad_clip = dict(max_norm=35, norm_type=2)
+total_epochs = 6
+work_dir = "./work_dirs/waymo_centerpoint_voxelnet_two_sweep_two_stage_bev_5point_ft_6epoch_freeze_with_vel"

@@ -54,6 +54,59 @@ def build_detector(cfg_model: dict, voxel_cfg: VoxelConfig):
     raise KeyError(f"unknown detector type {mtype!r}")
 
 
+def build_two_stage_engine(cfg_model: dict, voxel_cfg: VoxelConfig, test_cfg: dict):
+    """Build a TwoStageEngine from the config's TwoStageDetector model tree.
+
+    Parity: reference TwoStageDetector construction (two_stage.py:9-46) from
+    configs/waymo/*/two_stage/*.py."""
+    from tdal.models.two_stage import BEVFeatureExtractor, RoIHead, RoiTargetConfig
+    from tdal.pipeline.two_stage_engine import TwoStageEngine
+
+    first = build_detector(cfg_model["first_stage_cfg"], voxel_cfg)
+    mc = cfg_model["roi_head"]["model_cfg"]
+    tc = mc["TARGET_CONFIG"]
+    roi_head = RoIHead(
+        shared_fc=tuple(mc["SHARED_FC"]),
+        cls_fc=tuple(mc["CLS_FC"]),
+        reg_fc=tuple(mc["REG_FC"]),
+        code_size=int(cfg_model["roi_head"].get("code_size", 7)),
+        dp_ratio=float(mc.get("DP_RATIO", 0.3)),
+    )
+    sec = cfg_model["second_stage_modules"][0]
+    bev = BEVFeatureExtractor(
+        pc_start=tuple(sec["pc_start"]),
+        voxel_size=tuple(sec["voxel_size"]),
+        out_stride=int(sec["out_stride"]),
+    )
+    roi_cfg = RoiTargetConfig(
+        roi_per_image=int(tc["ROI_PER_IMAGE"]),
+        fg_ratio=float(tc["FG_RATIO"]),
+        sample_roi_by_each_class=bool(tc.get("SAMPLE_ROI_BY_EACH_CLASS", True)),
+        cls_score_type=str(tc.get("CLS_SCORE_TYPE", "roi_iou")),
+        cls_fg_thresh=float(tc["CLS_FG_THRESH"]),
+        cls_bg_thresh=float(tc["CLS_BG_THRESH"]),
+        cls_bg_thresh_lo=float(tc["CLS_BG_THRESH_LO"]),
+        hard_bg_ratio=float(tc["HARD_BG_RATIO"]),
+        reg_fg_thresh=float(tc["REG_FG_THRESH"]),
+    )
+    loss_cfg = mc.get("LOSS_CONFIG", {})
+    weights = loss_cfg.get("LOSS_WEIGHTS", {})
+    return TwoStageEngine(
+        first,
+        roi_head,
+        test_cfg,
+        bev,
+        roi_cfg=roi_cfg,
+        num_point=int(cfg_model.get("num_point", 5)),
+        code_weights_first=tuple(
+            cfg_model["first_stage_cfg"]["bbox_head"].get("code_weights", [1.0] * 8)
+        ),
+        code_weights_roi=tuple(weights.get("code_weights", [1.0] * 7)),
+        first_weight=float(cfg_model["first_stage_cfg"]["bbox_head"].get("weight", 2.0)),
+        freeze_first=bool(cfg_model.get("freeze", False)),
+    )
+
+
 def build_assigner(cfg_assigner: dict, detector) -> AssignerConfig:
     return AssignerConfig(
         tasks=[

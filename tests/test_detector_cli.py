@@ -65,3 +65,39 @@ def test_detector_train_and_test_cli(tmp_path):
     assert one["box3d_lidar"].ndim == 2 and one["box3d_lidar"].shape[1] == 7
     # evaluation artifacts (det_annos + proto fallback) were written
     assert (work / "eval" / "det_annos.pkl").exists()
+
+
+def test_two_stage_train_and_test_cli(tmp_path):
+    infos, scenes = make_synthetic_dataset(
+        tmp_path, n_scenes=1, n_frames=4, seed=9,
+        n_static=2, n_dynamic=1, points_per_object=64, n_background=512,
+    )
+    cfg = Path(__file__).resolve().parent.parent / "configs" / "synthetic" / "pp_two_stage_tiny.py"
+    work = tmp_path / "work2s"
+    _run_tool(
+        "train",
+        [
+            str(cfg),
+            "--work_dir", str(work),
+            "--info_path", str(tmp_path / "infos.pkl"),
+            "--batch_size", "2",
+            "--total_epochs", "1",
+            "--no_data_parallel",
+        ],
+    )
+    assert (work / "checkpoints" / "latest.json").exists()
+    _run_tool(
+        "dist_test",
+        [
+            str(cfg),
+            "--work_dir", str(work / "eval"),
+            "--checkpoint", str(work / "checkpoints"),
+            "--info_path", str(tmp_path / "infos.pkl"),
+            "--batch_size", "2",
+        ],
+    )
+    with open(work / "eval" / "prediction.pkl", "rb") as f:
+        preds = pickle.load(f)
+    assert len(preds) == 4
+    one = next(iter(preds.values()))
+    assert one["box3d_lidar"].shape[1] == 7

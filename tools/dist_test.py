@@ -52,9 +52,17 @@ def main():
     rng = fix_seed(0)
 
     voxel_cfg = build_voxel_config(cfg.voxel_generator, train=False)
-    detector = build_detector(cfg.model, voxel_cfg)
-    assigner = build_assigner(cfg.train_cfg["assigner"], detector)
+    two_stage = cfg.model["type"] == "TwoStageDetector"
+    base_model_cfg = cfg.model["first_stage_cfg"] if two_stage else cfg.model
+    detector = build_detector(base_model_cfg, voxel_cfg)
     test_cfg = build_test_cfg(cfg.test_cfg, detector, voxel_cfg)
+    engine = None
+    if two_stage:
+        from tdal.models.builder import build_two_stage_engine
+
+        engine = build_two_stage_engine(cfg.model, voxel_cfg, test_cfg)
+        detector = engine.first
+    assigner = build_assigner(cfg.train_cfg["assigner"], detector)
 
     split_key = "train" if args.split in ("train", "mytrain") else "val"
     info_path = args.info_path or cfg.data[split_key]["info_path"]
@@ -75,20 +83,34 @@ def main():
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 4)
     example = ds[0]
     points = np.stack([example["points"]] * batch_size)
-    params, bstats = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
     import optax
 
+    if two_stage:
+        gt = jax.numpy.zeros(
+            (batch_size, assigner.max_objs, 10), jax.numpy.float32
+        )
+        params, bstats = engine.init(rng, jax.numpy.asarray(points), gt)
+    else:
+        params, bstats = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
     state = TrainState.create(params, optax.adam(1e-3), bstats)
     mgr = CheckpointManager(args.checkpoint)
     tree, meta = mgr.restore(target={"params": params, "batch_stats": bstats})
     state = state.replace(params=tree["params"], batch_stats=tree["batch_stats"])
     logger.info(f"restored checkpoint: {meta}")
 
-    code_weights = cfg.model["bbox_head"].get("code_weights", [1.0] * 8)
-    detections = run_inference(
-        detector, state, ds, test_cfg, code_weights,
-        batch_size=batch_size, logger=logger, speed_test=args.speed_test,
-    )
+    if two_stage:
+        from tdal.pipeline.two_stage_run import run_two_stage_inference
+
+        detections = run_two_stage_inference(
+            engine, state, ds, batch_size=batch_size, logger=logger,
+            speed_test=args.speed_test,
+        )
+    else:
+        code_weights = base_model_cfg["bbox_head"].get("code_weights", [1.0] * 8)
+        detections = run_inference(
+            detector, state, ds, test_cfg, code_weights,
+            batch_size=batch_size, logger=logger, speed_test=args.speed_test,
+        )
     with open(work_dir / "prediction.pkl", "wb") as f:
         pickle.dump(detections, f)
     logger.info(f"saved prediction.pkl ({len(detections)} frames)")

@@ -49,9 +49,20 @@ def main():
     rng = fix_seed(args.seed if args.seed is not None else 0)
 
     voxel_cfg = build_voxel_config(cfg.voxel_generator, train=True)
-    detector = build_detector(cfg.model, voxel_cfg)
+    two_stage = cfg.model["type"] == "TwoStageDetector"
+    if two_stage:
+        from tdal.models.builder import build_two_stage_engine
+
+        base_model_cfg = cfg.model["first_stage_cfg"]
+        detector = build_detector(base_model_cfg, voxel_cfg)
+        test_cfg = build_test_cfg(cfg.test_cfg, detector, voxel_cfg)
+        engine = build_two_stage_engine(cfg.model, voxel_cfg, test_cfg)
+        detector = engine.first
+    else:
+        base_model_cfg = cfg.model
+        detector = build_detector(cfg.model, voxel_cfg)
+        test_cfg = build_test_cfg(cfg.test_cfg, detector, voxel_cfg)
     assigner = build_assigner(cfg.train_cfg["assigner"], detector)
-    test_cfg = build_test_cfg(cfg.test_cfg, detector, voxel_cfg)
 
     info_path = args.info_path or cfg.data["train"]["info_path"]
     with open(info_path, "rb") as f:
@@ -92,20 +103,28 @@ def main():
 
     example = train_ds[0]
     points = np.stack([example["points"]] * batch_size)
-    params, bs = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
-    logger.info(f"detector params: {param_count(params)}")
-    state = TrainState.create(params, tx, bs)
     mesh = None if args.no_data_parallel else make_mesh()
     if mesh is not None:
         logger.info(f"data-parallel mesh over {mesh.devices.size} devices")
 
-    code_weights = cfg.model["bbox_head"].get("code_weights", [1.0] * 8)
-    weight = cfg.model["bbox_head"].get("weight", 2.0)
-    train_detector(
-        detector, state, train_ds, test_cfg, code_weights,
-        n_epoch=total_epochs, batch_size=batch_size, logger=logger,
-        work_dir=work_dir, weight=weight, mesh=mesh,
-    )
+    if two_stage:
+        from tdal.pipeline.two_stage_run import train_two_stage
+
+        train_two_stage(
+            engine, cfg, train_ds, tx, batch_size=batch_size,
+            n_epoch=total_epochs, logger=logger, work_dir=work_dir, rng=rng,
+        )
+    else:
+        params, bs = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
+        logger.info(f"detector params: {param_count(params)}")
+        state = TrainState.create(params, tx, bs)
+        code_weights = base_model_cfg["bbox_head"].get("code_weights", [1.0] * 8)
+        weight = base_model_cfg["bbox_head"].get("weight", 2.0)
+        train_detector(
+            detector, state, train_ds, test_cfg, code_weights,
+            n_epoch=total_epochs, batch_size=batch_size, logger=logger,
+            work_dir=work_dir, weight=weight, mesh=mesh,
+        )
     logger.info("Done.")
 
 
