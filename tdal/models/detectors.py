@@ -94,20 +94,35 @@ class VoxelNet(nn.Module):
     rpn_us_strides: Sequence[int] = (1, 2)
     rpn_us_filters: Sequence[int] = (256, 256)
     with_velocity: bool = False
+    # None = auto: gather-based sparse submanifold backbone when the dense grid
+    # would be infeasible (> 2^24 cells), masked dense 3D convs otherwise.
+    sparse_middle: bool = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, points, train: bool = False, return_feature: bool = False):
-        from tdal.models.scn import MiddleBackbone
-
         voxels, coords, num_points, n_vox = voxelize_batch(points, self.voxel_cfg)
         feats = VoxelMeanEncoder()(voxels, num_points)
         v = feats.shape[1]
         valid = jnp.arange(v)[None, :] < n_vox[:, None]
         nx, ny, nz = (int(g) for g in self.voxel_cfg.grid_size)
-        bev = MiddleBackbone(grid_size=(nz, ny, nx), dtype=self.dtype)(
-            feats * valid[..., None], coords, valid, train
+        use_sparse = (
+            self.sparse_middle
+            if self.sparse_middle is not None
+            else (nz * ny * nx > 2**24)
         )
+        if use_sparse:
+            from tdal.models.scn_sparse import SparseMiddleBackbone
+
+            bev = SparseMiddleBackbone(grid_size=(nz, ny, nx), dtype=self.dtype)(
+                feats * valid[..., None], coords, valid, train
+            )
+        else:
+            from tdal.models.scn import MiddleBackbone
+
+            bev = MiddleBackbone(grid_size=(nz, ny, nx), dtype=self.dtype)(
+                feats * valid[..., None], coords, valid, train
+            )
         x = RPN(
             layer_nums=tuple(self.rpn_layer_nums),
             ds_layer_strides=tuple(self.rpn_ds_strides),

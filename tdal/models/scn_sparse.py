@@ -1,0 +1,123 @@
+"""Sparse submanifold VoxelNet middle backbone — the full-resolution spconv path.
+
+Capability parity with reference ``SpMiddleResNetFHD`` (det3d/models/backbones/
+scn.py:83-177, built on the external CUDA spconv library): SubM input conv ->
+4 stages (16 -> 32 -> 64 -> 128) with stride-2 sparse convs + residual submanifold
+SparseBasicBlocks -> extra z-stride conv -> dense BEV with z folded into channels.
+
+Built on tdal.ops.sparse_conv (searchsorted gather taps + MXU contraction), so it
+runs at the reference's full (41, 1504, 1504) grid where dense 3D conv is infeasible
+(tdal/models/scn.MiddleBackbone remains the dense-grid alternative for small grids).
+BatchNorm uses MaskedBatchNorm so padded voxel slots don't pollute statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tdal.models.layers import MaskedBatchNorm
+from tdal.ops.sparse_conv import (
+    down2_grid,
+    downz_grid,
+    scatter_dense_bev,
+    sort_voxels,
+    sparse_conv3d_down2,
+    sparse_conv3d_downz,
+    subm_conv3d,
+)
+
+
+class SparseMiddleBackbone(nn.Module):
+    grid_size: Tuple[int, int, int]  # (nz, ny, nx)
+    channels: Sequence[int] = (16, 32, 64, 128)
+    voxel_caps: Sequence[int] = None  # per-downsample V buffer sizes
+    dtype: jnp.dtype = jnp.float32
+
+    def _bn_relu(self, x, valid, train):
+        x = MaskedBatchNorm(dtype=self.dtype)(x, mask=valid.astype(x.dtype), train=train)
+        return nn.relu(x) * valid[..., None]
+
+    def _subm(self, name, cin, cout):
+        return self.param(
+            name, nn.initializers.lecun_normal(), (27, cin, cout)
+        )
+
+    @nn.compact
+    def __call__(self, feats, coords, valid, train: bool = False):
+        """feats (B, V, Cin), coords (B, V, 3) zyx, valid (B, V) -> BEV NHWC."""
+        b, v, cin = feats.shape
+        grid0 = tuple(int(g) for g in self.grid_size)
+        caps = self.voxel_caps or (v, v // 2, v // 4, v // 8)
+        chans = list(self.channels)
+
+        # ---- weights (allocated once; vmapped apply over batch) ----
+        w_in = self._subm("w_in", cin, chans[0])
+        blocks, downs = [], []
+        for i, c in enumerate(chans):
+            blocks.append(
+                (self._subm(f"w_blk{i}_a", c, c), self._subm(f"w_blk{i}_b", c, c))
+            )
+            if i + 1 < len(chans):
+                downs.append(self._subm(f"w_down{i}", c, chans[i + 1]))
+        w_z = self.param(
+            "w_z", nn.initializers.lecun_normal(), (3, chans[-1], chans[-1])
+        )
+
+        def vm(fn, *args):
+            return jax.vmap(fn)(*args)
+
+        # ---- input SubM conv ----
+        coords, feats, valid, keys = vm(
+            lambda c, f, m: sort_voxels(c, f, m, grid0), coords, feats, valid
+        )
+        x = vm(
+            lambda c, f, m, k: subm_conv3d(c, f, m, k, grid0, w_in),
+            coords, feats, valid, keys,
+        )
+        x = self._bn_relu(x, valid, train)
+        grid = grid0
+
+        for i, c in enumerate(chans):
+            # residual SparseBasicBlock (scn.py:37-80)
+            g = grid
+            y = vm(
+                lambda cc, ff, mm, kk: subm_conv3d(cc, ff, mm, kk, g, blocks[i][0]),
+                coords, x, valid, keys,
+            )
+            y = self._bn_relu(y, valid, train)
+            y = vm(
+                lambda cc, ff, mm, kk: subm_conv3d(cc, ff, mm, kk, g, blocks[i][1]),
+                coords, y, valid, keys,
+            )
+            y = MaskedBatchNorm(dtype=self.dtype)(
+                y, mask=valid.astype(y.dtype), train=train
+            )
+            x = nn.relu(y + x) * valid[..., None]
+
+            if i + 1 < len(chans):
+                cap = int(caps[i + 1]) if i + 1 < len(caps) else v
+                coords, x, valid, keys = jax.vmap(
+                    lambda cc, ff, mm, kk: sparse_conv3d_down2(
+                        cc, ff, mm, kk, g, downs[i], cap
+                    )
+                )(coords, x, valid, keys)
+                grid = down2_grid(g)
+                x = self._bn_relu(x, valid, train)
+
+        # ---- final z-compression ----
+        g = grid
+        cap = int(caps[-1]) if len(caps) >= len(chans) else v
+        coords, x, valid, keys = jax.vmap(
+            lambda cc, ff, mm, kk: sparse_conv3d_downz(cc, ff, mm, kk, g, w_z, cap)
+        )(coords, x, valid, keys)
+        grid = downz_grid(g)
+        x = self._bn_relu(x, valid, train)
+
+        g = grid
+        return jax.vmap(lambda cc, ff, mm: scatter_dense_bev(cc, ff, mm, g))(
+            coords, x, valid
+        )

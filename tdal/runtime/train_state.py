@@ -46,8 +46,14 @@ class TrainState:
 
 
 def init_model(model, rngs, *example_inputs, **kwargs):
-    """Initialize a flax module, returning (params, batch_stats)."""
-    variables = model.init(rngs, *example_inputs, **kwargs)
+    """Initialize a flax module, returning (params, batch_stats).
+
+    The init is jitted: eager init executes every op as its own XLA program, which
+    at production shapes costs minutes of per-op compiles (335s vs 48s measured for
+    the sparse VoxelNet backbone)."""
+    variables = jax.jit(model.init, static_argnames=tuple(kwargs))(
+        rngs, *example_inputs, **kwargs
+    )
     return variables["params"], variables.get("batch_stats", {})
 
 
