@@ -2,10 +2,14 @@
 
 TPU-native replacements for the reference's CUDA ``nms_gpu`` (iou3d_nms_kernel.cu:267-414,
 wrapped by box_torch_ops.rotate_nms_pcdet:248-276) and the numba ``circle_nms``
-(circle_nms_jit.py:5-28). Suppression is inherently sequential in the greedy formulation;
-we run it as a ``lax.fori_loop`` whose body is a fully vectorized one-vs-all IoU row, with
-per-box corners precomputed once. The score-sort + pre/post truncation semantics match the
-reference exactly.
+(circle_nms_jit.py:5-28). Greedy suppression is inherently sequential, so both variants
+run a tiled early-exit while_loop: each iteration resolves the top-T alive candidates
+in-tile via a statically unrolled recurrence, then suppresses the whole array with one
+vectorized (T, m) overlap block — sequential depth <= ceil(post_max/T) instead of one
+step per candidate. Score-sort + pre/post truncation semantics match the reference.
+
+NOTE: call these per sample (python loop over a small batch). vmap/lax.map of the
+early-exit while_loop forces masked all-lane execution and degrades ~1000x (measured).
 """
 
 from __future__ import annotations
@@ -15,22 +19,6 @@ import jax.numpy as jnp
 
 from tdal.core.geometry import center_to_corner_box2d
 from tdal.core.iou import quad_intersection_area
-
-_NEG_INF = -1e18
-
-
-def _greedy_suppress(keep_init, suppress_row_fn, n):
-    """Generic greedy pass: for each i in score order, kill later boxes via row fn."""
-
-    def body(i, keep):
-        row = suppress_row_fn(i)  # bool (n,): candidates i would suppress
-        alive_i = keep[i]
-        idx = jnp.arange(n)
-        suppress = row & (idx > i) & alive_i
-        return keep & (~suppress)
-
-    return jax.lax.fori_loop(0, n, body, keep_init)
-
 
 def rotated_nms(
     boxes: jax.Array,
@@ -129,26 +117,45 @@ def circle_nms(
     Returns (indices (post_max_size,), valid (post_max_size,))."""
     centers = jnp.asarray(centers)
     scores = jnp.asarray(scores)
-    n = centers.shape[0]
     order = jnp.argsort(-scores)
     c = centers[order]
     s = scores[order]
-    valid_in = jnp.isfinite(s)
+    alive_scores = jnp.where(jnp.isfinite(s), s, -jnp.inf)
+    m = c.shape[0]
 
-    def row_fn(i):
-        d2 = jnp.sum((c - c[i]) ** 2, axis=-1)
-        return (d2 <= dist_threshold) & valid_in & valid_in[i]
+    # Same tiled early-exit greedy loop as rotated_nms (distance rows are cheap).
+    T = min(32, post_max_size, m)
 
-    keep = _greedy_suppress(valid_in, row_fn, n)
+    def cond(state):
+        k, alive_scores, out_idx, out_valid = state
+        return (k < post_max_size) & jnp.any(alive_scores > -jnp.inf)
 
-    rank = jnp.cumsum(keep) - 1
-    out_idx = jnp.full((post_max_size,), 0, dtype=order.dtype)
-    out_valid = jnp.zeros((post_max_size,), dtype=bool)
-    take = keep & (rank < post_max_size)
-    out_idx = out_idx.at[jnp.where(take, rank, post_max_size)].set(
-        order, mode="drop"
-    )
-    out_valid = out_valid.at[jnp.where(take, rank, post_max_size)].set(
-        True, mode="drop"
+    def body(state):
+        k, alive_scores, out_idx, out_valid = state
+        tile_scores, tile_idx = jax.lax.top_k(alive_scores, T)
+        tile_valid = tile_scores > -jnp.inf
+        tc = c[tile_idx]  # (T, 2)
+        d2_all = jnp.sum((tc[:, None, :] - c[None, :, :]) ** 2, axis=-1)  # (T, m)
+        over = d2_all[:, tile_idx] <= dist_threshold
+        keep_t = tile_valid
+        later = jnp.arange(T)[None, :] > jnp.arange(T)[:, None]
+        for i in range(T):
+            keep_t = keep_t & ~(over[i] & later[i] & keep_t[i])
+        suppress_all = jnp.any(
+            (d2_all <= dist_threshold) & keep_t[:, None], axis=0
+        )
+        alive_scores = jnp.where(suppress_all, -jnp.inf, alive_scores)
+        alive_scores = alive_scores.at[tile_idx].set(-jnp.inf)
+        ranks = k + jnp.cumsum(keep_t) - 1
+        write = keep_t & (ranks < post_max_size)
+        slot = jnp.where(write, ranks, post_max_size)
+        out_idx = out_idx.at[slot].set(order[tile_idx], mode="drop")
+        out_valid = out_valid.at[slot].set(True, mode="drop")
+        return k + keep_t.sum(), alive_scores, out_idx, out_valid
+
+    out_idx = jnp.zeros((post_max_size,), order.dtype)
+    out_valid = jnp.zeros((post_max_size,), bool)
+    _, _, out_idx, out_valid = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0), alive_scores, out_idx, out_valid)
     )
     return out_idx, out_valid
