@@ -19,7 +19,7 @@ from tdal.data.detection import collate_detection
 from tdal.data.track_datasets import Prefetcher
 from tdal.pipeline.detector_engine import make_detector_steps, predictions_to_host
 from tdal.runtime.checkpoint import CheckpointManager
-from tdal.runtime.logging_utils import LogBuffer
+from tdal.runtime.logging_utils import LogBuffer, MetricsWriter
 from tdal.runtime.train_state import TrainState
 
 
@@ -65,6 +65,7 @@ def train_detector(
 
     train_step, _ = make_detector_steps(detector, test_cfg, code_weights, weight)
     mgr = CheckpointManager(Path(work_dir) / "checkpoints")
+    writer = MetricsWriter(Path(work_dir) / "logs")
     buf = LogBuffer()
     steps_per_epoch = max(1, len(train_ds) // batch_size)
 
@@ -86,6 +87,7 @@ def train_detector(
                 logger.info(
                     f"Epoch [{epoch + 1}/{n_epoch}][{i + 1}/{steps_per_epoch}] {msg}"
                 )
+                writer.write(int(state.step), buf.output)
                 buf.clear_output()
         logger.info(f"Epoch {epoch + 1} done in {time.time() - t0:.1f}s")
         mgr.save(

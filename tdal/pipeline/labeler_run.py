@@ -15,6 +15,7 @@ per-box Shapely python loop is replaced by one vectorized JAX call over all fram
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Callable, Dict, Optional
 
 import jax
@@ -25,6 +26,7 @@ from tdal.data.track_datasets import batch_iterator
 from tdal.data.waymo_schema import AnnoStore, box7_from_box9, transform_box_np
 from tdal.pipeline.labeler_engine import average_metrics, make_steps
 from tdal.runtime.checkpoint import CheckpointManager
+from tdal.runtime.logging_utils import MetricsWriter
 from tdal.runtime.train_state import TrainState
 
 VEHICLE_TYPE = 1
@@ -58,6 +60,7 @@ def train_labeler(
 
     train_step, eval_step = make_steps(model, loss_fn, inputs_fn)
     mgr = CheckpointManager(ckpt_dir) if ckpt_dir is not None else None
+    writer = MetricsWriter(Path(ckpt_dir) / "logs") if ckpt_dir is not None else None
     best_acc, best_meta = -1.0, {}
 
     def run_eval(st):
@@ -71,10 +74,14 @@ def train_labeler(
             ms.append(m)
         return average_metrics(ms)
 
+    from tdal.data.track_datasets import Prefetcher
+
     for epoch in range(n_epoch):
         ms = []
-        for batch in batch_iterator(
-            train_ds, batch_size, shuffle=True, seed=seed + epoch, drop_last=True
+        for batch in Prefetcher(
+            batch_iterator(
+                train_ds, batch_size, shuffle=True, seed=seed + epoch, drop_last=True
+            )
         ):
             for k in ("n_valid", "token", "track_id"):
                 batch.pop(k, None)
@@ -93,7 +100,11 @@ def train_labeler(
             f"{train_m.get('iou3d', 0):.4f}; acc@0.7: {train_m.get('iou3d_acc_07', 0):.4f}"
         )
 
+        if writer is not None:
+            writer.write(int(state.step), train_m, mode="train")
         eval_m = run_eval(state)
+        if writer is not None:
+            writer.write(int(state.step), eval_m, mode="val")
         logger.info(
             f"[Eval] loss: {eval_m.get('total_loss', float('nan')):.4f}, "
             f"seg acc: {eval_m.get('seg_acc', float('nan')):.4f}"

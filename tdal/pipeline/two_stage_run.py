@@ -62,9 +62,8 @@ def train_two_stage(engine: TwoStageEngine, cfg, train_ds, tx, batch_size, n_epo
         ):
             batch.pop("n_valid", None)
             batch.pop("token", None)
-            batch = {k: (v if isinstance(v, list) else jnp.asarray(v)) for k, v in batch.items()}
             batch = {
-                k: ([jnp.asarray(x) for x in v] if isinstance(v, list) else v)
+                k: ([jnp.asarray(x) for x in v] if isinstance(v, list) else jnp.asarray(v))
                 for k, v in batch.items()
             }
             state, logs = train_step(state, batch, rng)

@@ -145,3 +145,40 @@ class ProgressCounter:
                 f"{self.prefix}{self.count}/{self.total} "
                 f"({rate:.1f}/s, eta {eta:.0f}s)"
             )
+
+
+class MetricsWriter:
+    """JSONL metrics log + optional TensorBoard.
+
+    Parity: TextLoggerHook's json dump (hooks/logger/text.py:111-133) and
+    TensorboardLoggerHook (hooks/logger/tensorboard.py:9-55, gated on the optional
+    tensorboardX/tensorflow packages)."""
+
+    def __init__(self, log_dir, tensorboard: bool = False):
+        import json as _json
+        from pathlib import Path as _Path
+
+        self._json = _json
+        self.path = _Path(log_dir) / "metrics.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._tb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter  # type: ignore
+
+                self._tb = SummaryWriter(str(_Path(log_dir) / "tf_logs"))
+            except ImportError:
+                pass
+
+    def write(self, step: int, metrics: dict, mode: str = "train"):
+        row = {"mode": mode, "step": int(step)}
+        row.update({k: float(v) for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(self._json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{mode}/{k}", float(v), int(step))
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
