@@ -101,12 +101,21 @@ def measure_tdal() -> float:
     def fwd(pts, init_box):
         return model.apply(variables, pts, init_box, train=False)["center"]
 
+    # Chain iterations through a data dependency and fetch a scalar at the end:
+    # block_until_ready is unreliable through the axon PJRT tunnel (returns before
+    # execution), so independent timed calls under-measure. The chained sum forces
+    # sequential execution; the final float() forces completion.
+    p = pts
     for _ in range(WARMUP):
-        fwd(pts, init_box).block_until_ready()
+        out = fwd(p, init_box)
+        p = p + out.sum() * 0.0
+    _ = float(out.sum())
     t0 = time.perf_counter()
+    p = pts
     for _ in range(ITERS):
-        out = fwd(pts, init_box)
-    out.block_until_ready()
+        out = fwd(p, init_box)
+        p = p + out.sum() * 0.0
+    _ = float(out.sum())
     dt = (time.perf_counter() - t0) / ITERS
     return B / dt
 

@@ -203,3 +203,9 @@ def test_sharded_train_step_8dev():
     assert np.isfinite(float(m["total_loss"]))
     # params remain replicated-compatible
     assert int(state2.step) == 1
+    # GSPMD equivalence: the sharded step computes the same loss as single-device
+    # (global BN stats + implicit gradient psum == unsharded math).
+    state3, m_single = train_step(state, batch, key)
+    np.testing.assert_allclose(
+        float(m["total_loss"]), float(m_single["total_loss"]), rtol=2e-4
+    )
