@@ -60,6 +60,27 @@ def make_detector_steps(
     return jax.jit(train_step, **jit_kw), jax.jit(predict_step)
 
 
+def make_tta_predict_step(detector, test_cfg: dict):
+    """Double-flip TTA inference step: points (B*4, N, D) ordered
+    [orig, yflip, xflip, both] per sample; per-task maps are unflipped + averaged
+    before decode. Parity: the double_flip branch of CenterHead.predict
+    (center_head.py:316-427)."""
+    num_classes = detector.num_classes
+
+    def predict_step(state: TrainState, points):
+        from tdal.models.tta import average_double_flip_preds
+
+        preds = detector.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+        )
+        averaged = [average_double_flip_preds(task_preds) for task_preds in preds]
+        return predict(averaged, test_cfg, num_classes)
+
+    return jax.jit(predict_step)
+
+
 def predictions_to_host(batch_preds, tokens):
     """Fixed-shape device predictions -> per-frame variable-length numpy dicts keyed
     like the reference's detection output (dist_test.py:169-180): token ->

@@ -107,13 +107,20 @@ def run_inference(
     batch_size: int,
     logger,
     speed_test: bool = False,
+    double_flip: bool = False,
 ):
     """Inference over a dataset -> {token: {box3d_lidar, scores, label_preds}}.
 
-    Parity: tools/dist_test.py:139-209 incl. the middle-third speed measurement."""
-    _, predict_step = make_detector_steps(
-        detector, test_cfg, code_weights, donate=False
-    )
+    Parity: tools/dist_test.py:139-209 incl. the middle-third speed measurement;
+    double_flip runs the 4-variant TTA path (test_cfg double_flip semantics)."""
+    if double_flip:
+        from tdal.pipeline.detector_engine import make_tta_predict_step
+
+        predict_step = make_tta_predict_step(detector, test_cfg)
+    else:
+        _, predict_step = make_detector_steps(
+            detector, test_cfg, code_weights, donate=False
+        )
     detections = {}
     n_batches = (len(dataset) + batch_size - 1) // batch_size
     start_idx, times = n_batches // 3, []
@@ -122,8 +129,14 @@ def run_inference(
     ):
         n_valid = batch.pop("n_valid")
         tokens = batch.pop("token")
+        points = np.asarray(batch["points"])
+        if double_flip:
+            from tdal.models.tta import double_flip_points
+
+            variants = [double_flip_points(p) for p in points]
+            points = np.stack([v for vs in variants for v in vs])  # (B*4, N, D)
         t0 = time.time()
-        preds = predict_step(state, jax.numpy.asarray(batch["points"]))
+        preds = predict_step(state, jax.numpy.asarray(points))
         preds = jax.tree_util.tree_map(lambda x: x.block_until_ready(), preds)
         dt = time.time() - t0
         if speed_test and bi >= start_idx and bi < 2 * start_idx:

@@ -339,3 +339,69 @@ def _transform_box7(box7: np.ndarray, pose: np.ndarray) -> np.ndarray:
     heading = box7[-1] + np.arctan2(pose[1, 0], pose[0, 0])
     center = box7[:3] @ pose[:3, :3].T + pose[:3, 3]
     return np.concatenate([center, box7[3:6], [heading]])
+
+
+CAT_NAME_TO_ID = {"VEHICLE": 1, "PEDESTRIAN": 2, "SIGN": 3, "CYCLIST": 4}
+TYPE_NAMES = ["UNKNOWN", "VEHICLE", "PEDESTRIAN", "SIGN", "CYCLIST"]
+
+
+def create_gt_detection(infos: List[dict], result_path, logger=None):
+    """Write gt_preds.bin (GT boxes as a metrics proto, score 1, id = object name)
+    for local devkit evaluation. Parity: waymo_common._create_gt_detection
+    (:233-290); pickle fallback without the devkit."""
+    result_path = Path(result_path)
+    result_path.mkdir(parents=True, exist_ok=True)
+    try:
+        from waymo_open_dataset import label_pb2  # type: ignore
+        from waymo_open_dataset.protos import metrics_pb2  # type: ignore
+
+        objects = metrics_pb2.Objects()
+        have_proto = True
+    except Exception:
+        objects = None
+        have_proto = False
+        rows = []
+
+    for info in infos:
+        obj = load_pickle(info["anno_path"])
+        annos = obj["objects"]
+        if not annos:
+            continue
+        num_points = np.array([a["num_points"] for a in annos])
+        box3d = np.array([a["box"] for a in annos], np.float64)[:, [0, 1, 2, 3, 4, 5, -1]]
+        names = [TYPE_NAMES[a["label"]] for a in annos]
+        for i in range(len(box3d)):
+            if num_points[i] == 0 or names[i] == "UNKNOWN":
+                continue
+            det = box3d[i]
+            if have_proto:
+                o = metrics_pb2.Object()
+                o.context_name = obj["scene_name"]
+                o.frame_timestamp_micros = int(obj["frame_name"].split("_")[-1])
+                box = label_pb2.Label.Box()
+                box.center_x, box.center_y, box.center_z = det[:3]
+                box.length, box.width, box.height = det[3:6]
+                box.heading = det[-1]
+                o.object.box.CopyFrom(box)
+                o.score = 1.0
+                o.object.type = CAT_NAME_TO_ID[names[i]]
+                o.object.num_lidar_points_in_box = int(num_points[i])
+                o.object.id = annos[i]["name"]
+                objects.objects.append(o)
+            else:
+                rows.append(
+                    dict(context_name=obj["scene_name"],
+                         frame_timestamp_micros=int(obj["frame_name"].split("_")[-1]),
+                         box=det.tolist(), score=1.0,
+                         type=CAT_NAME_TO_ID[names[i]],
+                         num_lidar_points_in_box=int(num_points[i]),
+                         id=annos[i]["name"])
+                )
+    if have_proto:
+        with open(result_path / "gt_preds.bin", "wb") as f:
+            f.write(objects.SerializeToString())
+    else:
+        with open(result_path / "gt_preds.bin.pkl", "wb") as f:
+            pickle.dump(rows, f)
+        if logger:
+            logger.info("devkit absent - wrote gt_preds.bin.pkl fallback")

@@ -174,3 +174,21 @@ def test_pointpillars_overfits_single_frame():
     best = boxes[np.argmax(scores)]
     # the top detection lands near the GT center
     assert np.linalg.norm(best[:2] - BOX[0, :2]) < 1.5, best
+
+
+def test_tta_predict_step():
+    from tdal.models.tta import double_flip_points
+    from tdal.pipeline.detector_engine import make_tta_predict_step
+
+    det = PointPillars(voxel_cfg=VOX, tasks=tuple(TASKS), rpn_layer_nums=(1, 1, 1))
+    batch, tokens = _make_batch()
+    key = jax.random.PRNGKey(0)
+    params, bs = init_model(det, {"params": key}, batch["points"])
+    state = TrainState.create(params, optax.adam(1e-3), bs)
+    variants = [double_flip_points(np.asarray(p)) for p in np.asarray(batch["points"])]
+    pts4 = jnp.asarray(np.stack([v for vs in variants for v in vs]))  # (B*4, N, D)
+    tta_step = make_tta_predict_step(det, TEST_CFG)
+    preds = tta_step(state, pts4)
+    # output batch is B (averaged over the 4 variants)
+    assert preds["box3d_lidar"].shape[0] == 2
+    assert preds["scores"].shape == (2, TEST_CFG["nms"]["nms_post_max_size"])

@@ -39,6 +39,7 @@ def parse_args():
     parser.add_argument("--split", default="val", choices=["val", "mytrain", "test", "train"])
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--speed_test", action="store_true")
+    parser.add_argument("--double_flip", action="store_true", help="4-variant flip TTA")
     parser.add_argument("--evaluate", action="store_true", help="write det_annos/proto")
     return parser.parse_args()
 
@@ -110,6 +111,7 @@ def main():
         detections = run_inference(
             detector, state, ds, test_cfg, code_weights,
             batch_size=batch_size, logger=logger, speed_test=args.speed_test,
+            double_flip=args.double_flip,
         )
     with open(work_dir / "prediction.pkl", "wb") as f:
         pickle.dump(detections, f)

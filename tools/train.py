@@ -37,6 +37,7 @@ def parse_args():
     parser.add_argument("--total_epochs", type=int, default=None)
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--no_data_parallel", action="store_true")
+    parser.add_argument("--resume_from", default=None, help="checkpoint dir to resume")
     return parser.parse_args()
 
 
@@ -118,6 +119,16 @@ def main():
         params, bs = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
         logger.info(f"detector params: {param_count(params)}")
         state = TrainState.create(params, tx, bs)
+        if args.resume_from:
+            from tdal.runtime.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(args.resume_from)
+            tree, meta = mgr.restore(target={"params": params, "batch_stats": bs})
+            state = state.replace(
+                params=tree["params"], batch_stats=tree["batch_stats"],
+                step=meta.get("step", 0),
+            )
+            logger.info(f"resumed from {args.resume_from}: {meta}")
         code_weights = base_model_cfg["bbox_head"].get("code_weights", [1.0] * 8)
         weight = base_model_cfg["bbox_head"].get("weight", 2.0)
         train_detector(

@@ -16,6 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from tdal.data.waymo_schema import AnnoStore, reorganize_info
 from tdal.pipeline.track_extraction import (
     convert_detection_to_global_box,
+    create_gt_detection,
     create_pd_detection,
     run_tracking,
 )
@@ -66,6 +67,7 @@ def main():
     create_pd_detection(
         predictions, infos, args.work_dir, tracking=True, logger=logger
     )
+    create_gt_detection(list(infos.values()), args.work_dir, logger=logger)
     logger.info(
         "Use the Waymo devkit compute_tracking_metrics_main on tracking_pred.bin "
         "for official metrics"
