@@ -28,6 +28,7 @@ from tdal.ops.sparse_conv import (
     sparse_conv3d_down2,
     sparse_conv3d_downz,
     subm_conv3d,
+    subm_neighbors,
 )
 
 
@@ -70,13 +71,14 @@ class SparseMiddleBackbone(nn.Module):
         def vm(fn, *args):
             return jax.vmap(fn)(*args)
 
-        # ---- input SubM conv ----
+        # ---- input SubM conv (neighbor table shared per resolution) ----
         coords, feats, valid, keys = vm(
             lambda c, f, m: sort_voxels(c, f, m, grid0), coords, feats, valid
         )
+        nbrs = vm(lambda c, m, k: subm_neighbors(c, m, k, grid0), coords, valid, keys)
         x = vm(
-            lambda c, f, m, k: subm_conv3d(c, f, m, k, grid0, w_in),
-            coords, feats, valid, keys,
+            lambda c, f, m, k, nb: subm_conv3d(c, f, m, k, grid0, w_in, neighbors=nb),
+            coords, feats, valid, keys, nbrs,
         )
         x = self._bn_relu(x, valid, train)
         grid = grid0
@@ -85,13 +87,17 @@ class SparseMiddleBackbone(nn.Module):
             # residual SparseBasicBlock (scn.py:37-80)
             g = grid
             y = vm(
-                lambda cc, ff, mm, kk: subm_conv3d(cc, ff, mm, kk, g, blocks[i][0]),
-                coords, x, valid, keys,
+                lambda cc, ff, mm, kk, nb: subm_conv3d(
+                    cc, ff, mm, kk, g, blocks[i][0], neighbors=nb
+                ),
+                coords, x, valid, keys, nbrs,
             )
             y = self._bn_relu(y, valid, train)
             y = vm(
-                lambda cc, ff, mm, kk: subm_conv3d(cc, ff, mm, kk, g, blocks[i][1]),
-                coords, y, valid, keys,
+                lambda cc, ff, mm, kk, nb: subm_conv3d(
+                    cc, ff, mm, kk, g, blocks[i][1], neighbors=nb
+                ),
+                coords, y, valid, keys, nbrs,
             )
             y = MaskedBatchNorm(dtype=self.dtype)(
                 y, mask=valid.astype(y.dtype), train=train
@@ -106,6 +112,10 @@ class SparseMiddleBackbone(nn.Module):
                     )
                 )(coords, x, valid, keys)
                 grid = down2_grid(g)
+                g2 = grid
+                nbrs = jax.vmap(lambda c, m, k: subm_neighbors(c, m, k, g2))(
+                    coords, valid, keys
+                )
                 x = self._bn_relu(x, valid, train)
 
         # ---- final z-compression ----
