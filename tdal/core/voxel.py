@@ -3,8 +3,10 @@
 The TPU-native replacement for the reference's numba ``points_to_voxel``
 (det3d/ops/point_cloud/point_cloud_ops.py:8-55,112-184) and ``VoxelGenerator``
 (det3d/core/input/voxel_generator.py:19-46): points are hashed to grid cells with a
-sort + segment-rank scheme instead of a serial hash loop, then scattered into dense
-``(max_voxels, max_points, D)`` buffers. Semantics match the reference kernel:
+sort + segment scheme instead of a serial hash loop; the dense
+``(max_voxels, max_points, D)`` buffers are then built with GATHERS over the sorted
+order (only the per-voxel start positions are scattered — TPU scatters serialize).
+Semantics match the reference kernel:
 
 - out-of-range points dropped,
 - at most ``max_points`` points kept per voxel (first-come in sort order),
@@ -72,36 +74,41 @@ def _voxelize_impl(points, pc_range, voxel_size, grid_size, max_points, max_voxe
         [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]]
     ) & valid_s
     vox_id = jnp.cumsum(first) - 1  # (N,) voxel index per point
-    # rank = position - position_of_first_point_in_cell
     pos = jnp.arange(n)
-    first_pos = jnp.where(first, pos, 0)
-    seg_start = jax.lax.associative_scan(jnp.maximum, first_pos)
-    rank = pos - seg_start
 
-    keep = valid_s & (vox_id < max_voxels) & (rank < max_points)
-    vi = jnp.where(keep, vox_id, max_voxels)
-    ri = jnp.where(keep, rank, 0)
-
-    voxels = jnp.zeros((max_voxels + 1, max_points, d), points.dtype)
-    voxels = voxels.at[vi, ri].set(pts_s, mode="drop")
-    num_points = (
-        jnp.zeros((max_voxels + 1,), jnp.int32).at[vi].add(1, mode="drop")
-    )
-
-    # Per-voxel (z, y, x) coords from the first point of each kept voxel.
-    zyx = jnp.stack([idx[:, 2], idx[:, 1], idx[:, 0]], axis=1)[order]
-    coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
-    coords = coords.at[jnp.where(first & keep, vi, max_voxels)].set(
-        zyx, mode="drop"
-    )
-
+    # Gather-style buffer construction: scatter only the (small) per-voxel start
+    # positions, then fill the (max_voxels, max_points, D) buffer with GATHERS of
+    # the sorted points — TPU scatters serialize, gathers vectorize.
+    keep_first = first & valid_s & (vox_id < max_voxels)
+    start_slot = jnp.where(keep_first, vox_id, max_voxels)
+    voxel_start = jnp.zeros((max_voxels + 1,), jnp.int32).at[start_slot].set(
+        pos.astype(jnp.int32), mode="drop"
+    )[:max_voxels]
+    n_valid_pts = valid_s.sum()
     n_voxels = jnp.minimum(jnp.sum(first), max_voxels).astype(jnp.int32)
-    return (
-        voxels[:max_voxels],
-        coords[:max_voxels],
-        num_points[:max_voxels],
-        n_voxels,
+    vslots = jnp.arange(max_voxels)
+    voxel_valid = vslots < n_voxels
+    next_start = jnp.where(
+        vslots + 1 < n_voxels, jnp.roll(voxel_start, -1), n_valid_pts
     )
+    num_points = jnp.where(
+        voxel_valid,
+        jnp.minimum(next_start - voxel_start, max_points),
+        0,
+    ).astype(jnp.int32)
+
+    src = voxel_start[:, None] + jnp.arange(max_points)[None, :]  # (V, P)
+    in_voxel = jnp.arange(max_points)[None, :] < num_points[:, None]
+    src = jnp.clip(src, 0, n - 1)
+    voxels = jnp.where(
+        in_voxel[..., None], pts_s[src], jnp.zeros((), points.dtype)
+    )
+
+    zyx = jnp.stack([idx[:, 2], idx[:, 1], idx[:, 0]], axis=1)[order]
+    coords = jnp.where(
+        voxel_valid[:, None], zyx[jnp.clip(voxel_start, 0, n - 1)], -1
+    )
+    return voxels, coords, num_points, n_voxels
 
 
 def voxelize(points, cfg: VoxelConfig):
