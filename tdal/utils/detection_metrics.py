@@ -26,13 +26,23 @@ CLASS_NAMES = ["VEHICLE", "PEDESTRIAN", "CYCLIST"]
 def _iou_matrix(det_boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
     if len(det_boxes) == 0 or len(gt_boxes) == 0:
         return np.zeros((len(det_boxes), len(gt_boxes)))
-    import jax.numpy as jnp
+    # Host-side native C++ IoU: per-frame box counts vary, so the jit'd device path
+    # would recompile per shape (tens of seconds each on TPU). The C++ op is
+    # parity-tested against the JAX kernels (tests/test_native_oracle.py).
+    try:
+        from tdal.ops import native
 
-    from tdal.core.iou import boxes_iou_3d
+        return native.boxes_iou_3d(det_boxes, gt_boxes).astype(np.float64)
+    except Exception:
+        import jax.numpy as jnp
 
-    return np.asarray(
-        boxes_iou_3d(jnp.asarray(det_boxes, jnp.float32), jnp.asarray(gt_boxes, jnp.float32))
-    )
+        from tdal.core.iou import boxes_iou_3d
+
+        return np.asarray(
+            boxes_iou_3d(
+                jnp.asarray(det_boxes, jnp.float32), jnp.asarray(gt_boxes, jnp.float32)
+            )
+        )
 
 
 def _average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
