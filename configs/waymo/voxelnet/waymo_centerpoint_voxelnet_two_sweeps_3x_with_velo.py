@@ -67,9 +67,27 @@ voxel_generator = dict(
     max_voxel_num=[180000, 400000],
 )
 
+
+db_sampler = dict(
+    type="GT-AUG",
+    enable=True,
+    db_info_path=data_root + "/dbinfos_train_{:02d}sweeps_withvelo.pkl".format(nsweeps),
+    sample_groups=[
+        dict(VEHICLE=15),
+        dict(PEDESTRIAN=10),
+        dict(CYCLIST=10),
+    ],
+    db_prep_steps=[
+        dict(filter_by_min_num_points=dict(VEHICLE=5, PEDESTRIAN=5, CYCLIST=5)),
+        dict(filter_by_difficulty=[-1]),
+    ],
+    rate=1.0,
+)
+
 train_preprocessor = dict(
     mode="train",
     shuffle_points=True,
+    db_sampler=db_sampler,
     global_rot_noise=[-0.78539816, 0.78539816],
     global_scale_noise=[0.95, 1.05],
     class_names=class_names,

@@ -234,3 +234,37 @@ class DBSampler:
             "points": np.concatenate(pts_list, axis=0),
             "gt_masks": np.ones(len(sampled_infos), bool),
         }
+
+
+def build_db_sampler(cfg_db: dict, point_features: int = 5, seed: int = 0):
+    """Build a DBSampler from the config's db_sampler block (configs/waymo/**).
+
+    Returns None when disabled or when the dbinfos pickle doesn't exist yet
+    (reference pipelines tolerate a missing database the same way: GT-aug is an
+    optional training enhancement)."""
+    if not cfg_db or not cfg_db.get("enable", False):
+        return None
+    db_info_path = Path(cfg_db["db_info_path"])
+    if not db_info_path.exists():
+        return None
+    with open(db_info_path, "rb") as f:
+        dbinfos = pickle.load(f)
+    sample_groups: Dict[str, int] = {}
+    for g in cfg_db.get("sample_groups", []):
+        sample_groups.update(g)
+    min_points, filter_difficulty = None, None
+    for step in cfg_db.get("db_prep_steps", []):
+        if "filter_by_min_num_points" in step:
+            min_points = dict(step["filter_by_min_num_points"])
+        if "filter_by_difficulty" in step:
+            filter_difficulty = list(step["filter_by_difficulty"])
+    return DBSampler(
+        dbinfos,
+        db_info_path.parent,
+        sample_groups=sample_groups,
+        min_points=min_points,
+        filter_difficulty=filter_difficulty,
+        point_features=point_features,
+        rate=float(cfg_db.get("rate", 1.0)),
+        seed=seed,
+    )

@@ -69,6 +69,12 @@ def main():
     with open(info_path, "rb") as f:
         infos = pickle.load(f)
     pre = cfg.get("train_preprocessor", {})
+    from tdal.data.gt_augment import build_db_sampler
+
+    point_features = 5 if cfg.data["train"].get("nsweeps", 1) == 1 else 6
+    db_sampler = build_db_sampler(pre.get("db_sampler"), point_features=point_features)
+    if db_sampler is not None:
+        logger.info("GT-aug database sampler enabled")
     train_ds = DetectionDataset(
         infos,
         class_names=cfg.data["train"]["class_names"],
@@ -80,6 +86,7 @@ def main():
         global_rot_noise=tuple(pre.get("global_rot_noise", (-0.785398, 0.785398))),
         global_scale_noise=tuple(pre.get("global_scale_noise", (0.95, 1.05))),
         shuffle_points=pre.get("shuffle_points", True),
+        db_sampler=db_sampler,
     )
     logger.info(f"{len(train_ds)} train frames")
 
