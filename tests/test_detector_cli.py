@@ -101,3 +101,47 @@ def test_two_stage_train_and_test_cli(tmp_path):
     assert len(preds) == 4
     one = next(iter(preds.values()))
     assert one["box3d_lidar"].shape[1] == 7
+
+
+def test_train_cli_with_gt_aug(tmp_path):
+    """Train CLI with an enabled GT-aug database built from the synthetic infos."""
+    import pickle as pkl
+
+    from tdal.data.gt_augment import create_groundtruth_database
+
+    infos, scenes = make_synthetic_dataset(
+        tmp_path, n_scenes=1, n_frames=4, seed=13,
+        n_static=2, n_dynamic=1, points_per_object=64, n_background=256,
+    )
+    create_groundtruth_database(infos, tmp_path, nsweeps=1, waymo_subsample=False)
+    assert (tmp_path / "dbinfos_train_1sweeps_withvelo.pkl").exists()
+
+    # config variant pointing its db_sampler at the built database
+    base = (Path(__file__).resolve().parent.parent / "configs" / "synthetic" / "pp_tiny.py").read_text()
+    base += f"""
+db_sampler = dict(
+    enable=True,
+    db_info_path=r"{tmp_path / 'dbinfos_train_1sweeps_withvelo.pkl'}",
+    sample_groups=[dict(VEHICLE=8)],
+    db_prep_steps=[dict(filter_by_min_num_points=dict(VEHICLE=1))],
+    rate=1.0,
+)
+train_preprocessor = dict(train_preprocessor, db_sampler=db_sampler)
+"""
+    cfg_path = tmp_path / "pp_tiny_gtaug.py"
+    cfg_path.write_text(base)
+    work = tmp_path / "work_aug"
+    _run_tool(
+        "train",
+        [
+            str(cfg_path),
+            "--work_dir", str(work),
+            "--info_path", str(tmp_path / "infos.pkl"),
+            "--batch_size", "2",
+            "--total_epochs", "1",
+            "--no_data_parallel",
+        ],
+    )
+    assert (work / "checkpoints" / "latest.json").exists()
+    log = (work / "train.log").read_text()
+    assert "GT-aug database sampler enabled" in log
