@@ -50,10 +50,13 @@ def random_flip_both(gt_boxes, points, rng, probability=0.5):
 
 
 def global_rotation(gt_boxes, points, rng, rotation=(-np.pi / 4, np.pi / 4)):
-    """Parity: preprocess.py:771-789."""
+    """Parity: preprocess.py:771-789. The det3d rotation convention is CLOCKWISE for
+    positive angles (box_np_ops.rotation_points_single_angle; SURVEY.md geometry
+    notes), which is what makes `rot += noise` consistent for the negated-yaw
+    detector heading: yaw' = yaw - noise  =>  rot' = -pi/2 - yaw' = rot + noise."""
     noise = rng.uniform(rotation[0], rotation[1])
     c, s = np.cos(noise), np.sin(noise)
-    rot = np.array([[c, -s], [s, c]])
+    rot = np.array([[c, s], [-s, c]])  # clockwise
     points[:, :2] = points[:, :2] @ rot.T
     gt_boxes[:, :2] = gt_boxes[:, :2] @ rot.T
     if gt_boxes.shape[1] > 7:
