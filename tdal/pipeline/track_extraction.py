@@ -38,19 +38,26 @@ def _round_up(n: int, m: int) -> int:
     return max(m, ((n + m - 1) // m) * m)
 
 
+_crop_and_match_impl = None
+
+
 def _crop_and_match_jax(points, det_boxes, gt_boxes):
-    import jax
+    # Module-level jit cache: a fresh jit object per call would recompile for every
+    # frame (measured ~1s/frame of pure compilation).
+    global _crop_and_match_impl
+    if _crop_and_match_impl is None:
+        import jax
 
-    @partial(jax.jit)
-    def impl(points, det_boxes, gt_boxes):
-        from tdal.core.geometry import points_in_rbbox
-        from tdal.core.iou import boxes_iou_3d
+        def impl(points, det_boxes, gt_boxes):
+            from tdal.core.geometry import points_in_rbbox
+            from tdal.core.iou import boxes_iou_3d
 
-        inside = points_in_rbbox(points, det_boxes)  # (N, D)
-        iou = boxes_iou_3d(det_boxes, gt_boxes)  # (D, G)
-        return inside, iou
+            inside = points_in_rbbox(points, det_boxes)  # (N, D)
+            iou = boxes_iou_3d(det_boxes, gt_boxes)  # (D, G)
+            return inside, iou
 
-    return impl(points, det_boxes, gt_boxes)
+        _crop_and_match_impl = jax.jit(impl)
+    return _crop_and_match_impl(points, det_boxes, gt_boxes)
 
 
 def sort_detections_by_token(ret_list: List[dict]) -> List[dict]:
