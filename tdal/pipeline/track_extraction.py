@@ -254,6 +254,13 @@ def create_pd_detection(
 
         tracking_ids = detection.get("tracking_ids")
         td = {k: [] for k in ("id", "type", "bbox", "score", "point", "match")}
+        # Single-pass crop split: transform all points to global once, then slice
+        # per box from one nonzero pass (vs per-box boolean indexing over the full
+        # cloud, waymo_common.py:168-171).
+        lidars_global = lidars @ pose[:3, :3].T + pose[:3, 3]
+        box_ids, pt_ids = np.nonzero(inside.T)
+        split_at = np.searchsorted(box_ids, np.arange(1, len(box3d)))
+        crops = np.split(lidars_global[pt_ids], split_at)
         for i in range(len(box3d)):
             det = box3d[i]
             obj_id = (
@@ -283,8 +290,7 @@ def create_pd_detection(
                 )
 
             # point crop -> global frame (waymo_common.py:168-171)
-            pts_o = lidars[inside[:, i]]
-            pts_o = pts_o @ pose[:3, :3].T + pose[:3, 3]
+            pts_o = crops[i]
 
             # GT matching cached per track id (waymo_common.py:173-188)
             if obj_id in matching:
