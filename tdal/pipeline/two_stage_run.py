@@ -43,8 +43,10 @@ def init_two_stage_state(engine: TwoStageEngine, cfg, tx, points, gt_boxes_and_c
     return TrainState.create(params, tx, bs)
 
 
-def train_two_stage(engine: TwoStageEngine, cfg, train_ds, tx, batch_size, n_epoch, logger, work_dir, rng, seed: int = 0, log_every: int = 10):
+def train_two_stage(engine: TwoStageEngine, cfg, train_ds, tx, batch_size, n_epoch, logger, work_dir, rng, mesh=None, seed: int = 0, log_every: int = 10):
     import jax.numpy as jnp
+
+    from tdal.parallel.mesh import shard_batch
 
     example = train_ds[0]
     points = jnp.asarray(np.stack([example["points"]] * batch_size))
@@ -66,6 +68,8 @@ def train_two_stage(engine: TwoStageEngine, cfg, train_ds, tx, batch_size, n_epo
                 k: ([jnp.asarray(x) for x in v] if isinstance(v, list) else jnp.asarray(v))
                 for k, v in batch.items()
             }
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             state, logs = train_step(state, batch, rng)
             buf.update({k: float(v) for k, v in logs.items()})
             if (i + 1) % log_every == 0:

@@ -121,6 +121,7 @@ def main():
         train_two_stage(
             engine, cfg, train_ds, tx, batch_size=batch_size,
             n_epoch=total_epochs, logger=logger, work_dir=work_dir, rng=rng,
+            mesh=mesh,
         )
     else:
         params, bs = init_model(detector, {"params": rng}, jax.numpy.asarray(points))
