@@ -16,7 +16,7 @@ builds in numba dataloader workers (pipelines/preprocess.py:179-258).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import numpy as np
 

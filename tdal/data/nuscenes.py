@@ -15,9 +15,8 @@ contract as the reference's PointCloudDataset pipelines).
 from __future__ import annotations
 
 import json
-import pickle
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -12,11 +12,10 @@ Capability parity with reference ``det3d/datasets/waymo/``:
 
 from __future__ import annotations
 
-import os
 import pickle
 from functools import reduce
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

@@ -16,14 +16,13 @@ Layout is NHWC; targets come from tdal.core.targets.assign_centernet_targets.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from tdal.core.nms import rotated_nms
-from tdal.models.layers import ConvBNReLU
 
 
 class SepHead(nn.Module):

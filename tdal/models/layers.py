@@ -7,7 +7,6 @@ layout transposes; BatchNorm hyperparams mirror the reference's norm_cfg
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -18,13 +18,12 @@ Output is NHWC BEV: (B, H/8, W/8, C*D') matching the reference's dense reshape.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from tdal.models.layers import MaskedBatchNorm
 
 
 class Conv3DBNReLU(nn.Module):

@@ -23,8 +23,6 @@ mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

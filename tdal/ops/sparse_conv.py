@@ -23,8 +23,6 @@ Everything is jit/vmap-friendly with static shapes; batch via vmap.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ loop (tools/utils.py:81-103 — SURVEY.md §3.4 flags it as a hot-loop stall).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

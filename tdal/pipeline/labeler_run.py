@@ -16,7 +16,7 @@ per-box Shapely python loop is replaced by one vectorized JAX call over all fram
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from tdal.data.waymo_schema import AnnoStore, load_pickle, transform_box_np
+from tdal.data.waymo_schema import load_pickle, transform_box_np
 
 PEDESTRIAN_TYPE = 2
 

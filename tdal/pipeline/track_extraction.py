@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from functools import partial
 from pathlib import Path
 from typing import Dict, List
 

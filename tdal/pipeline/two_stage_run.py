@@ -17,7 +17,7 @@ import numpy as np
 
 from tdal.pipeline.detector_run import detection_batches
 from tdal.pipeline.two_stage_engine import TwoStageEngine, make_frozen_tx
-from tdal.runtime.checkpoint import CheckpointManager, load_params_tolerant
+from tdal.runtime.checkpoint import CheckpointManager
 from tdal.runtime.logging_utils import LogBuffer
 from tdal.runtime.train_state import TrainState
 

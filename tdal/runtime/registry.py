@@ -9,7 +9,7 @@ become constructor kwargs (config wins over default_args).
 from __future__ import annotations
 
 import inspect
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 
 class Registry:

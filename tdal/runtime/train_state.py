@@ -7,7 +7,7 @@ is a pytree, pjit shards it and checkpointing is structural.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import flax
 import jax

@@ -15,7 +15,7 @@ standard AP protocol); IoU comes from the jit'd tdal.core.iou matrix.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

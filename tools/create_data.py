@@ -6,7 +6,6 @@ Capability parity with reference ``tools/create_data.py:10-22`` (waymo_data_prep
 """
 
 import argparse
-import pickle
 
 
 def waymo_data_prep(root_path, split: str = "train", nsweeps: int = 1, gt_database: bool = True):

@@ -10,7 +10,6 @@ import argparse
 import pickle
 from pathlib import Path
 
-import jax
 
 from tdal.data.track_datasets import StaticTrackDataset, preprocess_tracks
 from tdal.data.waymo_schema import AnnoStore, reorganize_info

@@ -10,7 +10,7 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
-from tdal.data.waymo_schema import box7_from_box9, load_pickle, reorganize_info
+from tdal.data.waymo_schema import box7_from_box9, load_pickle
 from tdal.utils.visualize import plot_bev
 
 
