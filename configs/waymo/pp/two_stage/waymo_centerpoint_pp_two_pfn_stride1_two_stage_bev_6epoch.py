@@ -1,9 +1,8 @@
-"""The pipeline's production detector config: two-sweep VoxelNet CenterPoint with a
-frozen first stage + BEV 5-point RoIHead second stage and velocity head.
+"""PointPillars CenterPoint first stage (frozen) + BEV 5-point RoIHead second stage.
 
-Semantic parity with reference configs/waymo/voxelnet/two_stage/
-waymo_centerpoint_voxelnet_two_sweep_two_stage_bev_5point_ft_6epoch_freeze_with_vel.py
-(docs/GETTING_STARTED.md:67 names this the pipeline config).
+Semantic parity with reference configs/waymo/pp/two_stage/
+waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_6epoch.py:1-259 (stride-1 PP grid,
+128*3*5 RoI input channels, code_size 7, 6-epoch finetune with frozen first stage).
 """
 
 import itertools
@@ -12,30 +11,34 @@ tasks = [dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"])]
 class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
 first_stage_cfg = dict(
-    type="VoxelNet",
-    pretrained="./work_dirs/waymo_centerpoint_voxelnet_two_sweeps_3x_with_velo/checkpoints",
-    reader=dict(type="VoxelFeatureExtractorV3", num_input_features=6),
-    backbone=dict(type="SpMiddleResNetFHD", num_input_features=6, ds_factor=8),
+    type="PointPillars",
+    pretrained="./work_dirs/waymo_centerpoint_pp_two_pfn_stride1_3x/checkpoints",
+    reader=dict(
+        type="PillarFeatureNet",
+        num_filters=[64, 64],
+        num_input_features=5,
+        with_distance=False,
+        voxel_size=(0.32, 0.32, 6.0),
+        pc_range=(-74.88, -74.88, -2, 74.88, 74.88, 4.0),
+    ),
+    backbone=dict(type="PointPillarsScatter", ds_factor=1),
     neck=dict(
         type="RPN",
-        layer_nums=[5, 5],
-        ds_layer_strides=[1, 2],
-        ds_num_filters=[128, 256],
-        us_layer_strides=[1, 2],
-        us_num_filters=[256, 256],
-        num_input_features=256,
+        layer_nums=[3, 5, 5],
+        ds_layer_strides=[1, 2, 2],
+        ds_num_filters=[64, 128, 256],
+        us_layer_strides=[1, 2, 4],
+        us_num_filters=[128, 128, 128],
+        num_input_features=64,
     ),
     bbox_head=dict(
         type="CenterHead",
-        in_channels=512,
+        in_channels=128 * 3,
         tasks=tasks,
         dataset="waymo",
         weight=2,
-        code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],
-        common_heads={
-            "reg": (2, 2), "height": (1, 2), "dim": (3, 2),
-            "vel": (2, 2), "rot": (2, 2),
-        },
+        code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+        common_heads={"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)},
     ),
 )
 
@@ -45,14 +48,14 @@ model = dict(
     second_stage_modules=[
         dict(
             type="BEVFeatureExtractor",
-            pc_start=[-75.2, -75.2],
-            voxel_size=[0.1, 0.1],
-            out_stride=8,
+            pc_start=[-74.88, -74.88],
+            voxel_size=[0.32, 0.32],
+            out_stride=1,
         )
     ],
     roi_head=dict(
         type="RoIHead",
-        input_channels=512 * 5,
+        input_channels=128 * 3 * 5,
         model_cfg=dict(
             CLASS_AGNOSTIC=True,
             SHARED_FC=[256, 256],
@@ -76,11 +79,11 @@ model = dict(
                 LOSS_WEIGHTS={
                     "rcnn_cls_weight": 1.0,
                     "rcnn_reg_weight": 1.0,
-                    "code_weights": [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2],
+                    "code_weights": [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
                 },
             ),
         ),
-        code_size=9,
+        code_size=7,
     ),
     num_point=5,
     freeze=True,
@@ -89,7 +92,7 @@ model = dict(
 
 assigner = dict(
     target_assigner=dict(tasks=tasks),
-    out_size_factor=8,
+    out_size_factor=1,
     dense_reg=1,
     gaussian_overlap=0.1,
     max_objs=500,
@@ -101,20 +104,20 @@ test_cfg = dict(
     post_center_limit_range=[-80, -80, -10.0, 80, 80, 10.0],
     nms=dict(nms_pre_max_size=4096, nms_post_max_size=500, nms_iou_threshold=0.7),
     score_threshold=0.1,
-    pc_range=[-75.2, -75.2],
-    out_size_factor=8,
-    voxel_size=[0.1, 0.1],
+    pc_range=[-74.88, -74.88],
+    out_size_factor=1,
+    voxel_size=[0.32, 0.32],
 )
 
 dataset_type = "WaymoDataset"
-nsweeps = 2
+nsweeps = 1
 data_root = "data/Waymo"
 
 voxel_generator = dict(
-    range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
-    voxel_size=[0.1, 0.1, 0.15],
-    max_points_in_voxel=5,
-    max_voxel_num=[180000, 400000],
+    range=[-74.88, -74.88, -2, 74.88, 74.88, 4.0],
+    voxel_size=[0.32, 0.32, 6.0],
+    max_points_in_voxel=20,
+    max_voxel_num=[32000, 60000],
 )
 
 
@@ -145,20 +148,20 @@ train_preprocessor = dict(
 
 data = dict(
     samples_per_gpu=4,
-    workers_per_gpu=8,
+    workers_per_gpu=4,
     train=dict(
         type=dataset_type,
-        info_path=data_root + "/infos_train_02sweeps_filter_zero_gt.pkl",
+        info_path=data_root + "/infos_train_01sweeps_filter_zero_gt.pkl",
         nsweeps=nsweeps,
         class_names=class_names,
-        max_points=400000,
+        max_points=200000,
     ),
     val=dict(
         type=dataset_type,
-        info_path=data_root + "/infos_val_02sweeps_filter_zero_gt.pkl",
+        info_path=data_root + "/infos_val_01sweeps_filter_zero_gt.pkl",
         nsweeps=nsweeps,
         class_names=class_names,
-        max_points=400000,
+        max_points=200000,
         test_mode=True,
     ),
 )
@@ -167,4 +170,4 @@ optimizer = dict(type="adam", amsgrad=0.0, wd=0.01, fixed_wd=True, moving_averag
 lr_config = dict(type="one_cycle", lr_max=3e-3, moms=[0.95, 0.85], div_factor=10.0, pct_start=0.4)
 grad_clip = dict(max_norm=35, norm_type=2)
 total_epochs = 6
-work_dir = "./work_dirs/waymo_centerpoint_voxelnet_two_sweep_two_stage_bev_5point_ft_6epoch_freeze_with_vel"
+work_dir = "./work_dirs/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_6epoch"

@@ -1,6 +1,8 @@
-"""CenterPoint-VoxelNet on Waymo, single sweep, no velocity head.
+"""Single-sweep VoxelNet CenterPoint, frozen first stage + BEV 5-point RoIHead, no velocity.
 
-Semantic parity with reference configs/waymo/voxelnet/waymo_centerpoint_voxelnet_6epoch.py.
+Semantic parity with reference configs/waymo/voxelnet/two_stage/
+waymo_centerpoint_voxelnet_two_stage_bev_5point_ft_6epoch_freeze.py:1-259 (the no-velocity
+1-sweep sibling of the production with_vel config).
 """
 
 import itertools
@@ -8,9 +10,9 @@ import itertools
 tasks = [dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"])]
 class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
-model = dict(
+first_stage_cfg = dict(
     type="VoxelNet",
-    pretrained=None,
+    pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x/checkpoints",
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=5, ds_factor=8),
     neck=dict(
@@ -31,6 +33,54 @@ model = dict(
         code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
         common_heads={"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)},
     ),
+)
+
+model = dict(
+    type="TwoStageDetector",
+    first_stage_cfg=first_stage_cfg,
+    second_stage_modules=[
+        dict(
+            type="BEVFeatureExtractor",
+            pc_start=[-75.2, -75.2],
+            voxel_size=[0.1, 0.1],
+            out_stride=8,
+        )
+    ],
+    roi_head=dict(
+        type="RoIHead",
+        input_channels=512 * 5,
+        model_cfg=dict(
+            CLASS_AGNOSTIC=True,
+            SHARED_FC=[256, 256],
+            CLS_FC=[256, 256],
+            REG_FC=[256, 256],
+            DP_RATIO=0.3,
+            TARGET_CONFIG=dict(
+                ROI_PER_IMAGE=128,
+                FG_RATIO=0.5,
+                SAMPLE_ROI_BY_EACH_CLASS=True,
+                CLS_SCORE_TYPE="roi_iou",
+                CLS_FG_THRESH=0.75,
+                CLS_BG_THRESH=0.25,
+                CLS_BG_THRESH_LO=0.1,
+                HARD_BG_RATIO=0.8,
+                REG_FG_THRESH=0.55,
+            ),
+            LOSS_CONFIG=dict(
+                CLS_LOSS="BinaryCrossEntropy",
+                REG_LOSS="L1",
+                LOSS_WEIGHTS={
+                    "rcnn_cls_weight": 1.0,
+                    "rcnn_reg_weight": 1.0,
+                    "code_weights": [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0],
+                },
+            ),
+        ),
+        code_size=7,
+    ),
+    num_point=5,
+    freeze=True,
+    NMS_POST_MAXSIZE=500,
 )
 
 assigner = dict(
@@ -60,7 +110,7 @@ voxel_generator = dict(
     range=[-75.2, -75.2, -2, 75.2, 75.2, 4],
     voxel_size=[0.1, 0.1, 0.15],
     max_points_in_voxel=5,
-    max_voxel_num=[180000, 400000],
+    max_voxel_num=[150000, 200000],
 )
 
 
@@ -113,4 +163,4 @@ optimizer = dict(type="adam", amsgrad=0.0, wd=0.01, fixed_wd=True, moving_averag
 lr_config = dict(type="one_cycle", lr_max=3e-3, moms=[0.95, 0.85], div_factor=10.0, pct_start=0.4)
 grad_clip = dict(max_norm=35, norm_type=2)
 total_epochs = 6
-work_dir = "./work_dirs/waymo_centerpoint_voxelnet_6epoch"
+work_dir = "./work_dirs/waymo_centerpoint_voxelnet_two_stage_bev_5point_ft_6epoch_freeze"

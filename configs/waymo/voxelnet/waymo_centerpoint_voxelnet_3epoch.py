@@ -1,6 +1,7 @@
 """CenterPoint-VoxelNet on Waymo, single sweep, no velocity head.
 
-Semantic parity with reference configs/waymo/voxelnet/waymo_centerpoint_voxelnet_6epoch.py.
+Semantic parity with reference configs/waymo/voxelnet/waymo_centerpoint_voxelnet_3epoch.py
+(identical to the 6epoch variant except total_epochs=3).
 """
 
 import itertools
@@ -112,5 +113,5 @@ data = dict(
 optimizer = dict(type="adam", amsgrad=0.0, wd=0.01, fixed_wd=True, moving_average=False)
 lr_config = dict(type="one_cycle", lr_max=3e-3, moms=[0.95, 0.85], div_factor=10.0, pct_start=0.4)
 grad_clip = dict(max_norm=35, norm_type=2)
-total_epochs = 6
-work_dir = "./work_dirs/waymo_centerpoint_voxelnet_6epoch"
+total_epochs = 3
+work_dir = "./work_dirs/waymo_centerpoint_voxelnet_3epoch"

@@ -70,7 +70,7 @@ voxel_generator = dict(
 
 db_sampler = dict(
     type="GT-AUG",
-    enable=True,
+    enable=False,  # reference ships GT-aug disabled for waymo (db_sampler enable=False)
     db_info_path=data_root + "/dbinfos_train_{:02d}sweeps_withvelo.pkl".format(nsweeps),
     sample_groups=[
         dict(VEHICLE=15),

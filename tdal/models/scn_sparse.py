@@ -5,7 +5,8 @@ scn.py:83-177, built on the external CUDA spconv library): SubM input conv ->
 4 stages (16 -> 32 -> 64 -> 128) with stride-2 sparse convs + residual submanifold
 SparseBasicBlocks -> extra z-stride conv -> dense BEV with z folded into channels.
 
-Built on tdal.ops.sparse_conv (searchsorted gather taps + MXU contraction), so it
+Built on tdal.ops.sparse_conv (dense grid->slot lookup table gather taps + MXU
+contraction), so it
 runs at the reference's full (41, 1504, 1504) grid where dense 3D conv is infeasible
 (tdal/models/scn.MiddleBackbone remains the dense-grid alternative for small grids).
 BatchNorm uses MaskedBatchNorm so padded voxel slots don't pollute statistics.
