@@ -20,6 +20,7 @@ from tdal.pipeline.detector_engine import make_detector_steps, predictions_to_ho
 from tdal.runtime.checkpoint import CheckpointManager
 from tdal.runtime.logging_utils import LogBuffer, MetricsWriter
 from tdal.runtime.train_state import TrainState
+from tdal.utils.timing import force_completion
 
 
 def detection_batches(dataset, batch_size, shuffle=False, seed=0, pad_to_full=True, prefetch=True):
@@ -134,9 +135,13 @@ def run_inference(
 
             variants = [double_flip_points(p) for p in points]
             points = np.stack([v for vs in variants for v in vs])  # (B*4, N, D)
+        # Time with a forced one-scalar host fetch: block_until_ready can return
+        # before execution finishes through the axon PJRT tunnel (CLAUDE.md /
+        # benchmarks/RESULTS.md), which made the reference-style timing
+        # (dist_test.py:148-186, torch.cuda.synchronize) read near-zero here.
         t0 = time.time()
         preds = predict_step(state, jax.numpy.asarray(points))
-        preds = jax.tree_util.tree_map(lambda x: x.block_until_ready(), preds)
+        force_completion(preds)
         dt = time.time() - t0
         if speed_test and bi >= start_idx and bi < 2 * start_idx:
             times.append(dt / batch_size)
