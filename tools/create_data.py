@@ -33,6 +33,12 @@ def main():
     c.add_argument("--out_root", required=True)
     c.add_argument("--split", default="train")
 
+    n = sub.add_parser("nuscenes_data_prep", help="build nuScenes infos (needs nuscenes-devkit)")
+    n.add_argument("--root_path", required=True)
+    n.add_argument("--version", default="v1.0-trainval")
+    n.add_argument("--nsweeps", type=int, default=10)
+    n.add_argument("--no_filter_zero", action="store_true")
+
     args = parser.parse_args()
     if args.cmd == "waymo_data_prep":
         waymo_data_prep(
@@ -42,6 +48,13 @@ def main():
         from tdal.data.waymo_converter import convert_tfrecords
 
         convert_tfrecords(args.records, args.out_root, args.split)
+    elif args.cmd == "nuscenes_data_prep":
+        from tdal.data.nuscenes import create_nuscenes_infos
+
+        create_nuscenes_infos(
+            args.root_path, version=args.version, nsweeps=args.nsweeps,
+            filter_zero=not args.no_filter_zero,
+        )
 
 
 if __name__ == "__main__":
