@@ -46,6 +46,37 @@ def detection_batches(dataset, batch_size, shuffle=False, seed=0, pad_to_full=Tr
     return Prefetcher(gen()) if prefetch else gen()
 
 
+def evaluate_detector(
+    detector, state, val_ds, test_cfg, code_weights, batch_size, logger,
+    max_frames=None,
+):
+    """Inference over a val split + in-framework AP/APH.
+
+    The TPU-native stand-in for the reference's in-training val epoch
+    (torchie/trainer/trainer.py:424-480, which gathers results across ranks and
+    defers scoring); here quality is scored directly (detection_metrics)."""
+    from tdal.data.waymo_schema import reorganize_info
+    from tdal.utils.detection_metrics import (
+        detections_to_eval_format,
+        evaluate_detection,
+        gt_from_annos,
+    )
+
+    import copy
+
+    if max_frames is not None and len(val_ds.infos) > max_frames:
+        val_ds = copy.copy(val_ds)
+        val_ds.infos = val_ds.infos[:max_frames]
+    detections = run_inference(
+        detector, state, val_ds, test_cfg, code_weights, batch_size, logger
+    )
+    info_map = val_ds.infos
+    if not isinstance(info_map, dict):
+        info_map = reorganize_info(info_map)
+    gts = gt_from_annos(info_map)
+    return evaluate_detection(detections_to_eval_format(detections), gts)
+
+
 def train_detector(
     detector,
     state: TrainState,
@@ -60,6 +91,9 @@ def train_detector(
     mesh=None,
     log_every: int = 10,
     seed: int = 0,
+    val_ds=None,
+    val_every: int = 1,
+    val_max_frames: int = None,
 ):
     from tdal.parallel.mesh import shard_batch
 
@@ -95,6 +129,16 @@ def train_detector(
             {"params": state.params, "batch_stats": state.batch_stats},
             meta={"epoch": epoch + 1},
         )
+        # In-training validation (reference Trainer val workflow,
+        # torchie/trainer/trainer.py:424-480) scored with the in-framework AP/APH.
+        if val_ds is not None and (epoch + 1) % val_every == 0:
+            metrics = evaluate_detector(
+                detector, state, val_ds, test_cfg, code_weights, batch_size,
+                logger, max_frames=val_max_frames,
+            )
+            msg = ", ".join(f"{k}: {v:.4f}" for k, v in metrics.items())
+            logger.info(f"Val epoch {epoch + 1}: {msg}")
+            writer.write(int(state.step), {f"val/{k}": v for k, v in metrics.items()})
     return state
 
 

@@ -38,12 +38,23 @@ def test_detector_train_and_test_cli(tmp_path):
             str(cfg),
             "--work_dir", str(work),
             "--info_path", str(tmp_path / "infos.pkl"),
+            "--val_info_path", str(tmp_path / "infos.pkl"),
+            "--val_max_frames", "2",
             "--batch_size", "2",
             "--total_epochs", "1",
             "--no_data_parallel",
         ],
     )
     assert (work / "checkpoints" / "latest.json").exists()
+    # in-training validation wrote AP/APH metrics (trainer.py:424-480 parity)
+    import json as _json
+
+    rows = [
+        _json.loads(line)
+        for line in open(work / "logs" / "metrics.jsonl")
+    ]
+    val_rows = [r for r in rows if any(k.startswith("val/") for k in r)]
+    assert val_rows and "val/mAP" in val_rows[-1]
 
     _run_tool(
         "dist_test",

@@ -38,6 +38,11 @@ def parse_args():
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--no_data_parallel", action="store_true")
     parser.add_argument("--resume_from", default=None, help="checkpoint dir to resume")
+    parser.add_argument("--val_info_path", help="val infos for in-training eval "
+                        "(overrides cfg.data.val.info_path)")
+    parser.add_argument("--val_every", type=int, default=1, help="val every N epochs")
+    parser.add_argument("--val_max_frames", type=int, default=None)
+    parser.add_argument("--no_val", action="store_true", help="disable in-training val")
     return parser.parse_args()
 
 
@@ -89,6 +94,22 @@ def main():
         db_sampler=db_sampler,
     )
     logger.info(f"{len(train_ds)} train frames")
+
+    val_ds = None
+    val_info_path = args.val_info_path or cfg.data.get("val", {}).get("info_path")
+    if val_info_path and not args.no_val:
+        with open(val_info_path, "rb") as f:
+            val_infos = pickle.load(f)
+        val_ds = DetectionDataset(
+            val_infos,
+            class_names=cfg.data["train"]["class_names"],
+            assigner=assigner,
+            voxel_cfg=voxel_cfg,
+            mode="val",
+            nsweeps=cfg.data["train"].get("nsweeps", 1),
+            max_points=cfg.data["train"].get("max_points", 200000),
+        )
+        logger.info(f"{len(val_ds)} val frames (every {args.val_every} epochs)")
 
     batch_size = args.batch_size or cfg.data.get("samples_per_gpu", 4) * jax.device_count()
     total_epochs = args.total_epochs or cfg.total_epochs
@@ -143,6 +164,8 @@ def main():
             detector, state, train_ds, test_cfg, code_weights,
             n_epoch=total_epochs, batch_size=batch_size, logger=logger,
             work_dir=work_dir, weight=weight, mesh=mesh,
+            val_ds=val_ds, val_every=args.val_every,
+            val_max_frames=args.val_max_frames,
         )
     logger.info("Done.")
 
