@@ -38,15 +38,17 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (features,))
 
         if train:
+            # Stats accumulate in fp32 (bf16 sums over B*V*P elements lose bits).
+            xf = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
             if mask is None:
-                mean = jnp.mean(x, axis=axes)
-                var = jnp.var(x, axis=axes)
+                mean = jnp.mean(xf, axis=axes)
+                var = jnp.var(xf, axis=axes)
             else:
-                w = jnp.broadcast_to(mask[..., None], x.shape).astype(x.dtype)
+                w = jnp.broadcast_to(mask[..., None], x.shape).astype(jnp.float32)
                 denom = jnp.maximum(w.sum(axis=axes), 1.0)
-                mean = (x * w).sum(axis=axes) / denom
-                var = ((x - mean) ** 2 * w).sum(axis=axes) / denom
+                mean = (xf * w).sum(axis=axes) / denom
+                var = ((xf - mean) ** 2 * w).sum(axis=axes) / denom
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -55,12 +57,101 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale + bias
+        # Normalize in the module dtype so a bf16 activation chain stays bf16
+        # end-to-end (the fp32 round-trip doubled HBM traffic on TPU).
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(self.dtype)
+        y = (x.astype(self.dtype) - mean.astype(self.dtype)) * inv
+        return y * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class PallasConv3x3(nn.Module):
+    """3x3 stride-1 SAME conv through tdal.ops.pallas_conv (bias fused in the
+    accumulator). Param tree matches nn.Conv ('kernel' (3,3,Cin,Co), 'bias').
+    Dispatches to XLA off-TPU / for unsupported shapes."""
+
+    features: int
+    use_bias: bool = False
+    bias_init: object = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tdal.ops.pallas_conv import conv3x3_bias
+
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c, self.features)
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        return conv3x3_bias(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias
+        )
+
+
+class FusedConvBN(nn.Module):
+    """3x3 stride-1 conv + BatchNorm + optional ReLU with EVAL-time folding.
+
+    Owns its BatchNorm variables so that at eval the running stats (and the
+    conv bias) fold into the fused Pallas conv's output affine — conv + BN +
+    ReLU in a single input/output pass (the chip is HBM-bandwidth-bound).
+    Train mode computes batch stats in fp32 and normalizes in the module
+    dtype. Param/batch_stats names: kernel, conv_bias?, scale, bias, mean, var."""
+
+    features: int
+    use_bias: bool = False  # conv bias (reference SepHead convs carry one)
+    relu: bool = True
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from tdal.ops.pallas_conv import conv3x3_affine, conv3x3_bias
+
+        c = x.shape[-1]
+        f = self.features
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (3, 3, c, f))
+        cbias = (
+            self.param("conv_bias", nn.initializers.zeros, (f,))
+            if self.use_bias
+            else jnp.zeros((f,), jnp.float32)
+        )
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((f,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((f,), jnp.float32)
+        )
+        gamma = self.param("scale", nn.initializers.ones, (f,))
+        beta = self.param("bias", nn.initializers.zeros, (f,))
+        xc = x.astype(self.dtype)
+        wc = kernel.astype(self.dtype)
+        if not train:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * gamma
+            shift = beta + (cbias - ra_mean.value) * inv
+            return conv3x3_affine(xc, wc, inv, shift, relu=self.relu)
+        y = conv3x3_bias(xc, wc, cbias)
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.var(yf, axis=(0, 1, 2))
+        if not self.is_initializing():
+            ra_mean.value = (
+                self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            )
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        inv = (jax.lax.rsqrt(var + self.epsilon) * gamma).astype(self.dtype)
+        y = (y - mean.astype(self.dtype)) * inv + beta.astype(self.dtype)
+        return nn.relu(y) if self.relu else y
 
 
 class ConvBNReLU(nn.Module):
-    """3x3 (default) Conv2d + BN + ReLU, NHWC."""
+    """3x3 (default) Conv2d + BN + ReLU, NHWC.
+
+    The 3x3 stride-1 case runs through FusedConvBN (Pallas conv, eval-time BN
+    folding); strided/non-3x3 cases use nn.Conv + nn.BatchNorm."""
 
     features: int
     kernel: int = 3
@@ -72,6 +163,12 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.kernel == 3 and self.stride == 1 and not self.use_bias:
+            return FusedConvBN(
+                self.features, momentum=self.momentum, epsilon=self.epsilon,
+                dtype=self.dtype,
+            )(x, train)
+
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
