@@ -38,25 +38,53 @@ def _round_up(n: int, m: int) -> int:
 
 
 _crop_and_match_impl = None
+CHUNK_FRAMES = 8  # frames batched per device call (amortizes ~5ms/transfer)
 
 
 def _crop_and_match_jax(points, det_boxes, gt_boxes):
-    # Module-level jit cache: a fresh jit object per call would recompile for every
-    # frame (measured ~1s/frame of pure compilation).
+    """Batched crop + IoU: points (F, N, 3), det (F, D, 7), gt (F, G, 7) ->
+    (packed (F, D*N/8) uint8, counts (F, D) int32, iou (F, D, G)).
+
+    `packed` is the inside matrix bit-packed box-major (packbits of
+    inside.T.ravel()): 8x less device->host traffic than the bool matrix
+    (host fetches through the axon tunnel run at ~170 MB/s with ~5ms latency
+    each, which dominated this stage at 194+ ms/frame), and the host decodes
+    it sparsely (_decode_packed_nonzero) instead of np.nonzero over 4M bools.
+    Device-side index compaction (jnp.nonzero with size=) was tried and is
+    ~250ms/chunk on TPU — the packbits + sparse host decode is the fast path."""
     global _crop_and_match_impl
     if _crop_and_match_impl is None:
         import jax
+        import jax.numpy as jnp
 
         def impl(points, det_boxes, gt_boxes):
             from tdal.core.geometry import points_in_rbbox
             from tdal.core.iou import boxes_iou_3d
 
-            inside = points_in_rbbox(points, det_boxes)  # (N, D)
-            iou = boxes_iou_3d(det_boxes, gt_boxes)  # (D, G)
-            return inside, iou
+            def one(pts, det, gt):
+                inside = points_in_rbbox(pts, det)  # (N, D)
+                iou = boxes_iou_3d(det, gt)  # (D, G)
+                counts = inside.sum(axis=0).astype(jnp.int32)  # (D,)
+                packed = jnp.packbits(inside.T.reshape(-1))  # box-major bits
+                return packed, counts, iou
+
+            return jax.vmap(one)(points, det_boxes, gt_boxes)
 
         _crop_and_match_impl = jax.jit(impl)
     return _crop_and_match_impl(points, det_boxes, gt_boxes)
+
+
+def _decode_packed_nonzero(packed: np.ndarray) -> np.ndarray:
+    """Sorted flat indices of the set bits of a packbits() array.
+
+    Host-side sparse decode: nonzero over BYTES first (~1/100 the work of
+    unpacking 4M bools), then expand bits only for the hit bytes."""
+    nzb = np.flatnonzero(packed)
+    if not len(nzb):
+        return np.zeros((0,), np.int64)
+    bits = np.unpackbits(packed[nzb]).reshape(-1, 8).astype(bool)
+    offs = nzb[:, None] * 8 + np.arange(8)[None, :]
+    return offs[bits]
 
 
 def sort_detections_by_token(ret_list: List[dict]) -> List[dict]:
@@ -198,121 +226,92 @@ def create_pd_detection(
     if "train" in str(result_path):
         items = items[: int(len(items) * ratio)]
 
-    for token, detection in items:
-        entry = annos.get(token)
-        obj = entry["annos"]
-        pose = entry["pose"]
-        gt_box9 = np.array([o["box"] for o in obj["objects"]], np.float64).reshape(-1, 9)
-        gt_box7 = gt_box9[:, [0, 1, 2, 3, 4, 5, 8]] if gt_box9.size else np.zeros((0, 7))
-        lidars = load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
+    for chunk_start in range(0, len(items), CHUNK_FRAMES):
+        chunk = items[chunk_start : chunk_start + CHUNK_FRAMES]
+        # ---- host load phase ----
+        frames = []
+        for token, detection in chunk:
+            entry = annos.get(token)
+            obj = entry["annos"]
+            gt_box9 = np.array(
+                [o["box"] for o in obj["objects"]], np.float64
+            ).reshape(-1, 9)
+            gt_box7 = (
+                gt_box9[:, [0, 1, 2, 3, 4, 5, 8]] if gt_box9.size else np.zeros((0, 7))
+            )
+            lidars = load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
+            box3d = np.array(detection["box3d_lidar"], np.float64)
+            # detector (KITTI) -> Waymo convention (waymo_common.py:106-111)
+            if len(box3d):
+                box3d[:, -1] = -box3d[:, -1] - np.pi / 2
+                box3d = box3d[:, [0, 1, 2, 4, 3, 5, -1]]
+            else:
+                box3d = np.zeros((0, 7))
+            frames.append((token, detection, entry, gt_box7, lidars, box3d))
 
-        box3d = np.array(detection["box3d_lidar"], np.float64)
-        scores = np.asarray(detection["scores"])
-        labels = np.asarray(detection["label_preds"])
-        # detector (KITTI) -> Waymo convention (waymo_common.py:106-111)
-        if len(box3d):
-            box3d[:, -1] = -box3d[:, -1] - np.pi / 2
-            box3d = box3d[:, [0, 1, 2, 4, 3, 5, -1]]
-        else:
-            box3d = np.zeros((0, 7))
-
-        frame_id = obj["frame_id"]
-        det_annos.append(
-            {
-                "name": np.array([LABEL2NAME[int(i)] for i in labels]),
-                "score": np.asarray(scores),
-                "boxes_lidar": box3d.copy(),
-                "frame_id": f"segment-{obj['scene_name']}_with_camera_labels_{frame_id:03d}",
-                "metadata": {
-                    "context_name": obj["scene_name"],
-                    "timestamp_micros": int(str(infos[token]["timestamp"]).replace(".", "")),
-                },
-            }
+        # ---- one fixed-shape device call per chunk (crop idx + IoU) ----
+        d_pad = _round_up(max(len(f[5]) for f in frames), 64)
+        g_pad = _round_up(max(max(len(f[3]) for f in frames), 1), 64)
+        n_pad = _round_up(max(len(f[4]) for f in frames), 32768)
+        F = len(frames)
+        det_b = np.zeros((CHUNK_FRAMES, d_pad, 7), np.float32)
+        det_b[..., 3:6] = 1e-3  # degenerate padding boxes
+        gt_b = np.zeros((CHUNK_FRAMES, g_pad, 7), np.float32)
+        gt_b[..., 3:6] = 1e-3
+        pts_b = np.full((CHUNK_FRAMES, n_pad, 3), 1e9, np.float32)
+        for fi, (_, _, _, gt_box7, lidars, box3d) in enumerate(frames):
+            det_b[fi, : len(box3d)] = box3d
+            gt_b[fi, : len(gt_box7)] = gt_box7
+            pts_b[fi, : len(lidars)] = lidars
+        packed_b, counts_b, iou_b = _crop_and_match_jax(
+            jnp.asarray(pts_b), jnp.asarray(det_b), jnp.asarray(gt_b)
         )
+        packed_b = np.asarray(packed_b)
+        counts_b = np.asarray(counts_b)
+        iou_b = np.asarray(iou_b)
 
-        # ---- fixed-shape on-device crop + IoU matching ----
-        if len(box3d):
-            d_pad = _round_up(len(box3d), 64)
-            g_pad = _round_up(max(len(gt_box7), 1), 64)
-            n_pad = _round_up(len(lidars), 32768)
-            det_b = np.zeros((d_pad, 7)); det_b[: len(box3d)] = box3d
-            det_b[len(box3d):, 3:6] = 1e-3  # degenerate padding boxes
-            gt_b = np.zeros((g_pad, 7)); gt_b[: len(gt_box7)] = gt_box7
-            gt_b[len(gt_box7):, 3:6] = 1e-3
-            pts = np.full((n_pad, 3), 1e9); pts[: len(lidars)] = lidars
-            inside, iou = _crop_and_match_jax(
-                jnp.asarray(pts, jnp.float32),
-                jnp.asarray(det_b, jnp.float32),
-                jnp.asarray(gt_b, jnp.float32),
+        # ---- host emit phase ----
+        for fi in range(F):
+            token, detection, entry, gt_box7, lidars, box3d = frames[fi]
+            obj = entry["annos"]
+            pose = entry["pose"]
+            scores = np.asarray(detection["scores"])
+            labels = np.asarray(detection["label_preds"])
+
+            frame_id = obj["frame_id"]
+            det_annos.append(
+                {
+                    "name": np.array([LABEL2NAME[int(i)] for i in labels]),
+                    "score": np.asarray(scores),
+                    "boxes_lidar": box3d.copy(),
+                    "frame_id": f"segment-{obj['scene_name']}_with_camera_labels_{frame_id:03d}",
+                    "metadata": {
+                        "context_name": obj["scene_name"],
+                        "timestamp_micros": int(str(infos[token]["timestamp"]).replace(".", "")),
+                    },
+                }
             )
-            inside = np.asarray(inside)[: len(lidars), : len(box3d)]
-            iou = np.asarray(iou)[: len(box3d), : len(gt_box7)]
-        else:
-            inside = np.zeros((len(lidars), 0), bool)
-            iou = np.zeros((0, len(gt_box7)))
 
-        tracking_ids = detection.get("tracking_ids")
-        td = {k: [] for k in ("id", "type", "bbox", "score", "point", "match")}
-        # Single-pass crop split: transform all points to global once, then slice
-        # per box from one nonzero pass (vs per-box boolean indexing over the full
-        # cloud, waymo_common.py:168-171).
-        lidars_global = lidars @ pose[:3, :3].T + pose[:3, 3]
-        box_ids, pt_ids = np.nonzero(inside.T)
-        split_at = np.searchsorted(box_ids, np.arange(1, len(box3d)))
-        crops = np.split(lidars_global[pt_ids], split_at)
-        for i in range(len(box3d)):
-            det = box3d[i]
-            obj_id = (
-                str(int(tracking_ids[i])) if tracking_ids is not None else f"{token}_{i}"
+            counts = counts_b[fi, : len(box3d)]
+            iou = iou_b[fi, : len(box3d), : len(gt_box7)]
+            lidars_global = lidars @ pose[:3, :3].T + pose[:3, 3]
+            # box-major bits: any padding-box bits sort after all real boxes,
+            # so truncating at the real total drops them exactly
+            flat = _decode_packed_nonzero(packed_b[fi])[: int(counts.sum())]
+            pt_ids = flat % n_pad
+            split_at = np.cumsum(counts)[:-1]
+            crops = np.split(
+                lidars_global[np.minimum(pt_ids, max(len(lidars) - 1, 0))], split_at
             )
-            if have_proto:
-                o = metrics_pb2.Object()
-                o.context_name = obj["scene_name"]
-                o.frame_timestamp_micros = int(obj["frame_name"].split("_")[-1])
-                box = label_pb2.Label.Box()
-                box.center_x, box.center_y, box.center_z = det[:3]
-                box.length, box.width, box.height = det[3:6]
-                box.heading = det[-1]
-                o.object.box.CopyFrom(box)
-                o.score = float(scores[i])
-                o.object.type = LABEL_TO_TYPE[int(labels[i])]
-                if tracking:
-                    o.object.id = obj_id
-                objects.objects.append(o)
-            else:
-                proto_rows.append(
-                    dict(context_name=obj["scene_name"],
-                         frame_timestamp_micros=int(obj["frame_name"].split("_")[-1]),
-                         box=det.tolist(), score=float(scores[i]),
-                         type=LABEL_TO_TYPE[int(labels[i])],
-                         id=obj_id if tracking else None)
-                )
 
-            # point crop -> global frame (waymo_common.py:168-171)
-            pts_o = crops[i]
-
-            # GT matching cached per track id (waymo_common.py:173-188)
-            if obj_id in matching:
-                match = matching[obj_id]
-            elif iou.shape[1]:
-                best = int(np.argmax(iou[i]))
-                if iou[i, best] > 0.75:
-                    match = obj["objects"][best]["name"]
-                    matching[obj_id] = match
-                else:
-                    match = None
-            else:
-                match = None
-
-            td["id"].append(obj_id)
-            td["type"].append(LABEL_TO_TYPE[int(labels[i])])
-            td["bbox"].append(
-                _transform_box7(det, pose)
+            tracking_ids = detection.get("tracking_ids")
+            td = {k: [] for k in ("id", "type", "bbox", "score", "point", "match")}
+            _emit_frame_boxes(
+                box3d, scores, labels, tracking_ids, token, obj, pose, crops,
+                iou, matching, td, objects if have_proto else None,
+                None if have_proto else proto_rows, tracking,
             )
-            td["score"].append(float(scores[i]))
-            td["point"].append(pts_o)
-            td["match"].append(match)
-        trackData[token] = td
+            trackData[token] = td
 
     with open(result_path / "det_annos.pkl", "wb") as f:
         pickle.dump(det_annos, f)
@@ -345,6 +344,68 @@ def create_pd_detection(
                 f"{bin_name}.pkl (schema-equivalent rows)"
             )
     return det_annos, trackData
+
+
+def _emit_frame_boxes(box3d, scores, labels, tracking_ids, token, obj, pose,
+                      crops, iou, matching, td, objects, proto_rows, tracking):
+    """Per-box proto emission + GT matching + trackData rows (host loop).
+
+    Parity: waymo_common.py:106-205 (proto fields, IoU>0.75 track-cached match)."""
+    have_proto = objects is not None
+    if have_proto:
+        from waymo_open_dataset import label_pb2  # type: ignore
+        from waymo_open_dataset.protos import metrics_pb2  # type: ignore
+
+    for i in range(len(box3d)):
+        det = box3d[i]
+        obj_id = (
+            str(int(tracking_ids[i])) if tracking_ids is not None else f"{token}_{i}"
+        )
+        if have_proto:
+            o = metrics_pb2.Object()
+            o.context_name = obj["scene_name"]
+            o.frame_timestamp_micros = int(obj["frame_name"].split("_")[-1])
+            box = label_pb2.Label.Box()
+            box.center_x, box.center_y, box.center_z = det[:3]
+            box.length, box.width, box.height = det[3:6]
+            box.heading = det[-1]
+            o.object.box.CopyFrom(box)
+            o.score = float(scores[i])
+            o.object.type = LABEL_TO_TYPE[int(labels[i])]
+            if tracking:
+                o.object.id = obj_id
+            objects.objects.append(o)
+        else:
+            proto_rows.append(
+                dict(context_name=obj["scene_name"],
+                     frame_timestamp_micros=int(obj["frame_name"].split("_")[-1]),
+                     box=det.tolist(), score=float(scores[i]),
+                     type=LABEL_TO_TYPE[int(labels[i])],
+                     id=obj_id if tracking else None)
+            )
+
+        # point crop -> global frame (waymo_common.py:168-171)
+        pts_o = crops[i]
+
+        # GT matching cached per track id (waymo_common.py:173-188)
+        if obj_id in matching:
+            match = matching[obj_id]
+        elif iou.shape[1]:
+            best = int(np.argmax(iou[i]))
+            if iou[i, best] > 0.75:
+                match = obj["objects"][best]["name"]
+                matching[obj_id] = match
+            else:
+                match = None
+        else:
+            match = None
+
+        td["id"].append(obj_id)
+        td["type"].append(LABEL_TO_TYPE[int(labels[i])])
+        td["bbox"].append(_transform_box7(det, pose))
+        td["score"].append(float(scores[i]))
+        td["point"].append(pts_o)
+        td["match"].append(match)
 
 
 def _transform_box7(box7: np.ndarray, pose: np.ndarray) -> np.ndarray:
