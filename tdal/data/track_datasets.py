@@ -285,6 +285,66 @@ def batch_iterator(
         yield batch
 
 
+_POOL_DATASET = None  # set before fork; workers inherit it copy-on-write
+
+
+def _pool_make_batch(args):
+    sel, n_valid = args
+    batch = collate([_POOL_DATASET[int(i)] for i in sel])
+    batch["n_valid"] = n_valid
+    return batch
+
+
+def parallel_batch_iterator(
+    dataset,
+    batch_size: int,
+    num_workers: int = 4,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    pad_to_full: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """batch_iterator with a fork-based multiprocessing pool building batches.
+
+    The labeler datasets' per-item numpy work (anno lookups, per-frame pose
+    re-projection, resampling) is host-bound; the reference parallelized it
+    with torch DataLoader workers (datasets/loader/build_loader.py:29-60).
+    The dataset is published to workers via fork copy-on-write (no pickling);
+    batch order is deterministic (imap preserves submission order)."""
+    if num_workers <= 0:
+        yield from batch_iterator(
+            dataset, batch_size, shuffle=shuffle, seed=seed,
+            drop_last=drop_last, pad_to_full=pad_to_full,
+        )
+        return
+    import multiprocessing as mp
+
+    n = len(dataset)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    jobs = []
+    for start in range(0, n, batch_size):
+        sel = idx[start : start + batch_size]
+        if len(sel) < batch_size:
+            if drop_last:
+                break
+            if pad_to_full:
+                sel = np.concatenate([sel, np.full(batch_size - len(sel), sel[-1])])
+        jobs.append((sel, min(batch_size, n - start)))
+
+    global _POOL_DATASET
+    _POOL_DATASET = dataset
+    ctx = mp.get_context("fork")
+    pool = ctx.Pool(num_workers)
+    try:
+        yield from pool.imap(_pool_make_batch, jobs, chunksize=1)
+    finally:
+        pool.terminate()
+        pool.join()
+        _POOL_DATASET = None
+
+
 class Prefetcher:
     """Threaded one-batch-ahead prefetch. Parity: det3d/solver/background.py:4-28."""
 

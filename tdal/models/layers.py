@@ -109,7 +109,7 @@ class FusedConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        from tdal.ops.pallas_conv import conv3x3_affine, conv3x3_bias
+        from tdal.ops.pallas_conv import conv3x3_bias
 
         c = x.shape[-1]
         f = self.features
@@ -130,9 +130,17 @@ class FusedConvBN(nn.Module):
         xc = x.astype(self.dtype)
         wc = kernel.astype(self.dtype)
         if not train:
+            # EVAL: XLA conv + folded affine. In-graph XLA fuses the whole
+            # conv+BN+ReLU epilogue and overlaps across layers, beating the
+            # opaque Pallas call at inference (measured: RPN eval 13.8ms XLA
+            # vs 17.8ms Pallas). The Pallas kernel wins in TRAIN, where XLA's
+            # conv backward reads with heavy amplification.
+            from tdal.ops.pallas_conv import _xla_conv
+
             inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * gamma
             shift = beta + (cbias - ra_mean.value) * inv
-            return conv3x3_affine(xc, wc, inv, shift, relu=self.relu)
+            y = _xla_conv(xc, wc) * inv.astype(self.dtype) + shift.astype(self.dtype)
+            return nn.relu(y) if self.relu else y
         y = conv3x3_bias(xc, wc, cbias)
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=(0, 1, 2))

@@ -52,6 +52,7 @@ def train_labeler(
     ckpt_dir=None,
     mesh=None,
     seed: int = 0,
+    num_workers: int = 0,
 ):
     """Epoch loop with per-epoch eval and best-checkpoint selection.
 
@@ -74,15 +75,20 @@ def train_labeler(
             ms.append(m)
         return average_metrics(ms)
 
-    from tdal.data.track_datasets import Prefetcher
+    from tdal.data.track_datasets import Prefetcher, parallel_batch_iterator
 
     for epoch in range(n_epoch):
         ms = []
-        for batch in Prefetcher(
-            batch_iterator(
+        if num_workers > 0:
+            epoch_iter = parallel_batch_iterator(
+                train_ds, batch_size, num_workers=num_workers, shuffle=True,
+                seed=seed + epoch, drop_last=True,
+            )
+        else:
+            epoch_iter = batch_iterator(
                 train_ds, batch_size, shuffle=True, seed=seed + epoch, drop_last=True
             )
-        ):
+        for batch in Prefetcher(epoch_iter):
             for k in ("n_valid", "token", "track_id"):
                 batch.pop(k, None)
             if mesh is not None:

@@ -34,6 +34,8 @@ def main():
     parser.add_argument("--n_object_points", type=int, default=2560, help="Gathered object points (5*512).")
     parser.add_argument("--seed", type=int, default=DEFAULT_SEED)
     parser.add_argument("--work_dir", default=None)
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="multiprocess batch-building workers (0 = in-process)")
     parser.add_argument("--data_parallel", action="store_true")
     args = parser.parse_args()
 
@@ -78,6 +80,7 @@ def main():
         model, loss_fn, inputs_fn, state, train_ds, val_ds,
         n_epoch=args.n_epoch, batch_size=args.batch_size, rng=root_key,
         logger=logger, ckpt_dir=result_dir, mesh=mesh, seed=args.seed,
+        num_workers=args.num_workers,
     )
     logger.info(f"Best: {best}")
     logger.info("Done.")
