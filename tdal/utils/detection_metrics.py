@@ -6,8 +6,14 @@ binaries (waymo_common.py:222-231) and carries legacy KITTI numba AP code
 
 - per-class Average Precision at 3D IoU thresholds (0.7 vehicle, 0.5 ped/cyclist),
 - APH (AP weighted by heading accuracy, the Waymo mAPH metric shape),
-- L2 difficulty split by GT num_points (<=5 -> L2-only, per the Waymo convention
-  that level-2 objects have fewer points).
+- L2 difficulty split by GT num_points (<=5 -> L2-only).
+
+L2 caveat: the real Waymo definition is num_points <= 5 OR a labeler-assigned
+LEVEL_2 tag carried in the source protos; the per-frame anno pickles don't carry
+the manual tag, so this split is the num_points half only. Treat the absolute
+L2 numbers as a tracking metric — devkit scoring (detection_pred.bin) is the
+acceptance path. The AP/APH arithmetic itself is oracle-tested
+(tests/test_detection_metrics_oracle.py).
 
 Matching is greedy by descending score against unmatched GTs with max IoU (the
 standard AP protocol); IoU comes from the jit'd tdal.core.iou matrix.
