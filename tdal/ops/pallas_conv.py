@@ -158,6 +158,11 @@ def _pallas_fwd(x, w, shift, scale=None, relu=False):
             pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 9 * cp * co,
+            bytes_accessed=xp.size * 2 + b * hp * wp * co * 2,
+            transcendentals=0,
+        ),
     )(xp, wpad, scale.astype(jnp.float32), shift.astype(jnp.float32))
     return yp[:, :h, :wd, :]
 
@@ -231,6 +236,11 @@ def _pallas_wgrad(x, dy):
             pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 9 * cp * co,
+            bytes_accessed=xp.size * 2 + dyp.size * 2,
+            transcendentals=0,
+        ),
     )(xp, dyp)
     return dw[:, :, :c, :]
 

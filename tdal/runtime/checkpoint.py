@@ -100,6 +100,52 @@ class CheckpointManager:
         return tree, meta
 
 
+def load_checkpoint_uri(uri: str, target: Any = None, cache_dir=None, logger=None):
+    """Restore a checkpoint from a path or URL (pretrained-zoo workflow).
+
+    Parity: reference load_checkpoint's url/modelzoo dispatch
+    (torchie/trainer/checkpoint.py:96-174). http(s):// and file:// checkpoints
+    are downloaded (an orbax step directory packed as .tar.gz, or a .npz of
+    flat params) into ``cache_dir`` (~/.cache/tdal by default) keyed by URL
+    hash; local paths restore directly via CheckpointManager."""
+    import hashlib
+    import tarfile
+    import urllib.request
+
+    if "://" in uri:
+        cache_dir = Path(cache_dir or Path.home() / ".cache" / "tdal")
+        cache_dir.mkdir(parents=True, exist_ok=True)
+        name = hashlib.sha256(uri.encode()).hexdigest()[:16]
+        suffix = ".npz" if uri.endswith(".npz") else ".tar.gz"
+        local = cache_dir / (name + suffix)
+        if not local.exists():
+            if logger:
+                logger.info(f"downloading checkpoint {uri} -> {local}")
+            with urllib.request.urlopen(uri) as r, open(local, "wb") as f:
+                f.write(r.read())
+        if suffix == ".npz":
+            import numpy as np
+
+            flat = dict(np.load(local))
+            tree = {}
+            for k, v in flat.items():
+                node = tree
+                parts = k.split("/")
+                for p in parts[:-1]:
+                    node = node.setdefault(p, {})
+                node[parts[-1]] = v
+            return tree, {}
+        extract = cache_dir / name
+        if not extract.exists():
+            with tarfile.open(local) as tf:
+                tf.extractall(extract)
+        # the archive holds one checkpoint-manager directory
+        roots = [p for p in extract.iterdir() if p.is_dir()]
+        ckpt_dir = roots[0] if len(roots) == 1 and not (extract / "latest.json").exists() else extract
+        return CheckpointManager(ckpt_dir).restore(target=target)
+    return CheckpointManager(uri).restore(target=target)
+
+
 def load_params_tolerant(restored: dict, target: dict, logger=None) -> dict:
     """Overlay restored leaves onto target, skipping missing keys and shape mismatches.
 

@@ -100,3 +100,38 @@ def test_load_params_tolerant():
     np.testing.assert_allclose(out["a"], 1.0)
     np.testing.assert_allclose(out["b"], 0.0)
     np.testing.assert_allclose(out["c"], 0.0)
+
+
+def test_load_checkpoint_uri_url_and_npz(tmp_path):
+    """URL (file://) tarball + .npz zoo loading (checkpoint.py:96-174 parity)."""
+    import tarfile
+
+    import jax.numpy as jnp
+
+    from tdal.runtime.checkpoint import CheckpointManager, load_checkpoint_uri
+
+    mgr = CheckpointManager(tmp_path / "zoo_ckpt")
+    tree = {"params": {"w": jnp.arange(4.0)}}
+    mgr.save(7, tree, meta={"acc": 1.0})
+    tarball = tmp_path / "zoo.tar.gz"
+    with tarfile.open(tarball, "w:gz") as tf:
+        tf.add(tmp_path / "zoo_ckpt", arcname="zoo_ckpt")
+    restored, meta = load_checkpoint_uri(
+        f"file://{tarball}", cache_dir=tmp_path / "cache"
+    )
+    np.testing.assert_allclose(restored["params"]["w"], np.arange(4.0))
+    # cache hit: second load must not re-download
+    restored2, _ = load_checkpoint_uri(
+        f"file://{tarball}", cache_dir=tmp_path / "cache"
+    )
+    np.testing.assert_allclose(restored2["params"]["w"], np.arange(4.0))
+
+    np.savez(tmp_path / "flat.npz", **{"params/w": np.arange(3.0)})
+    tree2, _ = load_checkpoint_uri(
+        f"file://{tmp_path}/flat.npz", cache_dir=tmp_path / "cache"
+    )
+    np.testing.assert_allclose(tree2["params"]["w"], np.arange(3.0))
+
+    # plain local path dispatch
+    tree3, meta3 = load_checkpoint_uri(str(tmp_path / "zoo_ckpt"))
+    np.testing.assert_allclose(tree3["params"]["w"], np.arange(4.0))
