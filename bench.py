@@ -258,6 +258,30 @@ def measure_dynamic_labeler() -> float:
     return (time.perf_counter() - t0) / ITERS * 1e3
 
 
+def measure_voxelnet_full_grid() -> float:
+    """Sparse VoxelNet middle backbone forward at the production Waymo grid
+    (41, 1504, 1504), ~178k voxels, ms/frame."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    import jax
+    import jax.numpy as jnp
+    from voxelnet_full import GRID, fabricate_voxels
+
+    from tdal.models.scn_sparse import SparseMiddleBackbone
+    from tdal.utils.timing import chain, force_completion, timeit_chained
+
+    coords, feats, valid, v = fabricate_voxels(180000)
+    model = SparseMiddleBackbone(grid_size=GRID, dtype=jnp.bfloat16)
+    cb, fb, vb = jnp.asarray(coords)[None], jnp.asarray(feats)[None], jnp.asarray(valid)[None]
+    key = jax.random.PRNGKey(0)
+    variables = jax.jit(model.init, static_argnums=4)({"params": key}, fb, cb, vb, False)
+    force_completion(variables["params"]["w_in"])
+    fwd = jax.jit(lambda f: model.apply(variables, f, cb, vb, train=False))
+    dt = timeit_chained(lambda z, ff: chain(z, fwd(ff)), jnp.zeros(()), fb, iters=5, warmup=1)
+    return dt * 1e3
+
+
 def measure_trackdata_extraction() -> float:
     """Pipeline stage 2c (create_pd_detection: crop + GT match + emit), ms/frame."""
     import numpy as np
@@ -303,7 +327,10 @@ def main():
     vox_ms = measure_voxelize()
     dyn_ms = measure_dynamic_labeler()
     td_ms = measure_trackdata_extraction()
+    vn_ms = measure_voxelnet_full_grid()
     extra = [
+        {"metric": "voxelnet_forward_ms_full_grid", "value": round(vn_ms, 1),
+         "unit": "ms/frame (41x1504x1504, 178k voxels)"},
         {"metric": "pointpillars_train_step_ms_b2", "value": round(pp_train_ms, 1),
          "unit": "ms", "model_tflops": pp_tflops, "mfu_vs_v5e_bf16": pp_mfu},
         {"metric": "detector_frames_per_sec_b2", "value": round(det_fps, 1),
