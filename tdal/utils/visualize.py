@@ -80,36 +80,107 @@ def plot_track(track: dict, annos, out_path=None, title=""):
     )
 
 
-def show_open3d(points, boxes=None):
-    """Interactive 3D viewer; requires the optional open3d package
-    (reference tools/visualize/vis_data.py:5)."""
+_BOX_LINES = [
+    [0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
+    [0, 4], [1, 5], [2, 6], [3, 7],
+]
+
+
+def box_corners_3d(box7: np.ndarray) -> np.ndarray:
+    """(7,) box -> (8, 3) corners, lidar convention. Parity: vis_pred.get_points
+    + rotz (vis_pred.py:77-92)."""
+    from tdal.data.waymo_schema import rotz_np
+
+    x, y, z, l, w, h, yaw = np.asarray(box7, float)[:7]
+    local = np.array(
+        [
+            [sx * l / 2, sy * w / 2, sz * h / 2]
+            for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
+        ]
+    )[[0, 2, 6, 4, 1, 3, 7, 5]]
+    return local @ rotz_np(yaw).T + np.array([x, y, z])
+
+
+def _require_open3d():
     try:
-        import open3d as o3d
+        import open3d as o3d  # type: ignore
+
+        return o3d
     except ImportError as e:
         raise ImportError(
             "open3d is not installed in this environment; use plot_bev for headless "
             "PNG rendering instead"
         ) from e
 
-    geo = [o3d.geometry.PointCloud(o3d.utility.Vector3dVector(np.asarray(points)[:, :3]))]
-    if boxes is not None:
-        from tdal.data.waymo_schema import rotz_np
 
-        lines = [
-            [0, 1], [1, 2], [2, 3], [3, 0], [4, 5], [5, 6], [6, 7], [7, 4],
-            [0, 4], [1, 5], [2, 6], [3, 7],
-        ]
-        for b in np.atleast_2d(boxes):
-            x, y, z, l, w, h, yaw = b[:7]
-            local = np.array(
-                [
-                    [sx * l / 2, sy * w / 2, sz * h / 2]
-                    for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)
-                ]
-            )[[0, 2, 6, 4, 1, 3, 7, 5]]
-            corners = local @ rotz_np(yaw).T + np.array([x, y, z])
-            ls = o3d.geometry.LineSet(
-                o3d.utility.Vector3dVector(corners), o3d.utility.Vector2iVector(lines)
-            )
-            geo.append(ls)
+def _box_lineset(o3d, box7, color):
+    corners = box_corners_3d(box7)
+    ls = o3d.geometry.LineSet(
+        o3d.utility.Vector3dVector(corners),
+        o3d.utility.Vector2iVector(_BOX_LINES),
+    )
+    ls.colors = o3d.utility.Vector3dVector([color] * len(_BOX_LINES))
+    return ls
+
+
+def show_open3d(points, boxes=None, box_sets=None, score_thresh=0.5, verbose=True):
+    """Interactive 3D viewer (optional open3d package).
+
+    Parity: reference tools/visualize/vis_{data,pred}.py draw_3dbbox — multiple
+    box sets in distinct colors with a per-set score threshold and console box
+    printout. ``box_sets``: list of dicts {boxes, color (r,g,b in 0..1),
+    scores (optional), name (optional)}; ``boxes`` is shorthand for one green set."""
+    o3d = _require_open3d()
+
+    geo = [
+        o3d.geometry.PointCloud(
+            o3d.utility.Vector3dVector(np.asarray(points)[:, :3])
+        )
+    ]
+    sets = list(box_sets or [])
+    if boxes is not None:
+        sets.insert(0, {"boxes": boxes, "color": (0.0, 0.8, 0.0), "name": "GT"})
+    for bs in sets:
+        color = tuple(bs.get("color", (0.9, 0.1, 0.1)))
+        scores = bs.get("scores")
+        name = bs.get("name", "boxes")
+        for i, b in enumerate(np.atleast_2d(np.asarray(bs["boxes"]))):
+            if scores is not None and float(scores[i]) < score_thresh:
+                continue
+            geo.append(_box_lineset(o3d, b, color))
+            if verbose and scores is not None:
+                x, y, z, l, w, h, yaw = np.asarray(b, float)[:7]
+                print(
+                    f"[{name}] score: {float(scores[i]):.2f}, box: ({x:6.2f}, "
+                    f"{y:6.2f}, {z:6.2f}, {l:5.2f}, {w:5.2f}, {h:5.2f}, {yaw:5.2f})"
+                )
+    geo.append(o3d.geometry.TriangleMesh.create_coordinate_frame())
+    o3d.visualization.draw_geometries(geo)
+
+
+def show_track_open3d(track: dict):
+    """Interactive per-track view: merged crop points + the box sequence colored
+    by time (blue -> red) + the center trajectory polyline.
+
+    Parity: tools/visualize/vis_track.py main loop (global-frame track boxes +
+    aggregated crops)."""
+    o3d = _require_open3d()
+
+    pts = np.concatenate(
+        [np.asarray(p).reshape(-1, 3) for p in track["point"]], axis=0
+    )
+    geo = [o3d.geometry.PointCloud(o3d.utility.Vector3dVector(pts))]
+    boxes = [np.asarray(b).reshape(-1)[:7] for b in track["bbox"]]
+    n = max(len(boxes) - 1, 1)
+    for i, b in enumerate(boxes):
+        t = i / n
+        geo.append(_box_lineset(o3d, b, (t, 0.2, 1.0 - t)))
+    centers = np.stack([b[:3] for b in boxes])
+    if len(centers) > 1:
+        traj = o3d.geometry.LineSet(
+            o3d.utility.Vector3dVector(centers),
+            o3d.utility.Vector2iVector([[i, i + 1] for i in range(len(centers) - 1)]),
+        )
+        traj.colors = o3d.utility.Vector3dVector([(0.1, 0.1, 0.1)] * (len(centers) - 1))
+        geo.append(traj)
     o3d.visualization.draw_geometries(geo)

@@ -104,3 +104,34 @@ def test_registries_populated():
     assert "RPN" in NECKS.module_dict
     model = build_from_cfg({"type": "one_box_est", "n_object_points": 64}, LABELERS)
     assert model.n_object_points == 64
+
+
+def test_box_corners_3d_axis_aligned():
+    from tdal.utils.visualize import box_corners_3d
+
+    corners = box_corners_3d([1.0, 2.0, 0.5, 4.0, 2.0, 1.0, 0.0])
+    assert corners.shape == (8, 3)
+    np.testing.assert_allclose(corners[:, 0].min(), -1.0)  # x - l/2
+    np.testing.assert_allclose(corners[:, 0].max(), 3.0)
+    np.testing.assert_allclose(corners[:, 1].min(), 1.0)
+    np.testing.assert_allclose(corners[:, 2].max(), 1.0)
+    # yaw rotation preserves the center
+    rot = box_corners_3d([1.0, 2.0, 0.5, 4.0, 2.0, 1.0, 0.7])
+    np.testing.assert_allclose(rot.mean(0), [1.0, 2.0, 0.5], atol=1e-12)
+
+
+def test_show_open3d_gated():
+    import pytest
+
+    from tdal.utils.visualize import show_open3d, show_track_open3d
+
+    try:
+        import open3d  # noqa: F401
+
+        pytest.skip("open3d installed")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError):
+        show_open3d(np.zeros((4, 3)))
+    with pytest.raises(ImportError):
+        show_track_open3d({"point": [np.zeros((2, 3))], "bbox": [np.zeros(7)]})

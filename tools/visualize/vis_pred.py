@@ -21,6 +21,8 @@ def main():
     parser.add_argument("--out_dir", default="vis_out")
     parser.add_argument("--n_frames", type=int, default=5)
     parser.add_argument("--score_thresh", type=float, default=0.3)
+    parser.add_argument("--open3d", action="store_true",
+                        help="interactive 3D viewer (needs open3d)")
     args = parser.parse_args()
 
     with open(args.prediction, "rb") as f:
@@ -41,6 +43,19 @@ def main():
             boxes = boxes.copy()
             boxes[:, -1] = -boxes[:, -1] - np.pi / 2
             boxes[:, [3, 4]] = boxes[:, [4, 3]]
+        if args.open3d:
+            from tdal.utils.visualize import show_open3d
+
+            show_open3d(
+                lidar["lidars"]["points_xyz"],
+                boxes=gt,
+                box_sets=[{
+                    "boxes": boxes, "color": (0.9, 0.1, 0.1), "name": "pred",
+                    "scores": np.asarray(det["scores"])[keep],
+                }],
+                score_thresh=args.score_thresh,
+            )
+            continue
         out = Path(args.out_dir) / f"{token}.png"
         plot_bev(
             points=lidar["lidars"]["points_xyz"],

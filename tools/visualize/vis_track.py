@@ -16,11 +16,18 @@ def main():
     parser.add_argument("--track", required=True, help="track.pkl / trackStatic.pkl")
     parser.add_argument("--out_dir", default="vis_out")
     parser.add_argument("--n_tracks", type=int, default=5)
+    parser.add_argument("--open3d", action="store_true",
+                        help="interactive 3D viewer (needs open3d)")
     args = parser.parse_args()
 
     with open(args.track, "rb") as f:
         track = pickle.load(f)
     for tid, tr in list(track.items())[: args.n_tracks]:
+        if args.open3d:
+            from tdal.utils.visualize import show_track_open3d
+
+            show_track_open3d(tr)
+            continue
         out = Path(args.out_dir) / f"track_{tid}.png"
         plot_track(tr, None, out_path=out, title=str(tid))
         print(f"wrote {out}")
