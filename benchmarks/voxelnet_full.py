@@ -1,8 +1,7 @@
 """Sparse VoxelNet backbone at the FULL Waymo grid (41, 1504, 1504), 180k voxels.
 
-Measures forward (eval + train-with-grad) on the real chip, with the dense
-grid->slot table at production scale (92.7M cells * 4B = 371MB transient).
-Usage: python benchmarks/voxelnet_full.py [n_voxels]
+Measures forward (eval + train-with-grad) on the real chip.
+Usage: python benchmarks/voxelnet_full.py [n_voxels] [sparse|columns]
 """
 import sys
 import time
@@ -14,11 +13,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tdal.models.scn_columns import ColumnMiddleBackbone
 from tdal.models.scn_sparse import SparseMiddleBackbone
 from tdal.utils.timing import chain, force_completion, timeit_chained
 
 GRID = (41, 1504, 1504)
 NV = int(sys.argv[1]) if len(sys.argv) > 1 else 180000
+BACKEND = sys.argv[2] if len(sys.argv) > 2 else "sparse"
 DT = jnp.bfloat16
 
 
@@ -48,7 +49,14 @@ def fabricate_voxels(nv, seed=0):
 def main():
     coords, feats, valid, v = fabricate_voxels(NV)
     print(f"grid {GRID}, {v} unique voxels (buffer {NV})")
-    model = SparseMiddleBackbone(grid_size=GRID, dtype=DT)
+    if BACKEND == "columns":
+        model = ColumnMiddleBackbone(
+            grid_size=GRID, dtype=DT,
+            column_caps=(NV, NV // 2, NV // 4, NV // 8),
+        )
+    else:
+        model = SparseMiddleBackbone(grid_size=GRID, dtype=DT)
+    print(f"backend: {BACKEND}")
     cb = jnp.asarray(coords)[None]
     fb = jnp.asarray(feats)[None]
     vb = jnp.asarray(valid)[None]
