@@ -92,23 +92,33 @@ def global_translate(gt_boxes, points, rng, noise_translate_std=0.0):
 # ---------------------------------------------------------------------------
 
 
-def read_points(info: dict, nsweeps: int = 1) -> np.ndarray:
-    """Lidar points in the reference frame with tanh-normalized intensity; multi-sweep
-    concat adds a time-lag channel. Parity: loading.py:61-172."""
-    obj = load_pickle(info["path"])
+def _load_frame_points(path) -> np.ndarray:
+    """[xyz, tanh(intensity), elongation] for one frame: columnar .tdc cache
+    when present (tdal.data.frame_cache.build_cache), else the pickle."""
+    from tdal.data.frame_cache import read_frame_points
+
+    cached = read_frame_points(path)
+    if cached is not None:
+        return cached
+    obj = load_pickle(path)
     xyz = np.asarray(obj["lidars"]["points_xyz"], np.float32)
     feat = np.array(obj["lidars"]["points_feature"], np.float32)
     feat[:, 0] = np.tanh(feat[:, 0])
-    points = np.concatenate([xyz, feat], axis=1)
+    return np.concatenate([xyz, feat], axis=1)
+
+
+def read_points(info: dict, nsweeps: int = 1) -> np.ndarray:
+    """Lidar points in the reference frame with tanh-normalized intensity; multi-sweep
+    concat adds a time-lag channel. Parity: loading.py:61-172."""
+    points = _load_frame_points(info["path"])
     if nsweeps <= 1:
         return points
     clouds = [points]
     times = [np.zeros((points.shape[0], 1), np.float32)]
     for sweep in info["sweeps"][: nsweeps - 1]:
-        sobj = load_pickle(sweep["path"])
-        sxyz = np.asarray(sobj["lidars"]["points_xyz"], np.float32)
-        sfeat = np.array(sobj["lidars"]["points_feature"], np.float32)
-        sfeat[:, 0] = np.tanh(sfeat[:, 0])
+        spts = _load_frame_points(sweep["path"])
+        sxyz = spts[:, :3].copy()
+        sfeat = spts[:, 3:]
         if sweep["transform_matrix"] is not None:
             tm = np.asarray(sweep["transform_matrix"])
             sxyz = sxyz @ tm[:3, :3].T + tm[:3, 3]

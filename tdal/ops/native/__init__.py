@@ -71,3 +71,39 @@ def nms_rotated(boxes: np.ndarray, scores: np.ndarray, thresh: float) -> np.ndar
     n_keep = ctypes.c_int(0)
     lib.nms_rotated(boxes, scores, len(boxes), float(thresh), keep, ctypes.byref(n_keep))
     return keep[: n_keep.value]
+
+
+_FC_SRC = _DIR / "frame_cache.cpp"
+_FC_SO = _DIR / "libframe_cache.so"
+_fc_lib = None
+
+
+def frame_cache_lib():
+    """ctypes handle to the columnar frame-cache op (builds on first use)."""
+    global _fc_lib
+    if _fc_lib is not None:
+        return _fc_lib
+    if not _FC_SO.exists() or _FC_SO.stat().st_mtime < _FC_SRC.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(_FC_SRC),
+             "-o", str(_FC_SO)],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(str(_FC_SO))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.tdc_write.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_uint32, ctypes.c_uint32
+    ]
+    lib.tdc_write.restype = ctypes.c_int
+    lib.tdc_peek.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+        ctypes.POINTER(ctypes.c_uint32),
+    ]
+    lib.tdc_peek.restype = ctypes.c_int
+    lib.tdc_read.argtypes = [
+        ctypes.c_char_p, f32p, ctypes.c_uint32, ctypes.c_uint32
+    ]
+    lib.tdc_read.restype = ctypes.c_int
+    _fc_lib = lib
+    return lib

@@ -33,6 +33,10 @@ def main():
     c.add_argument("--out_root", required=True)
     c.add_argument("--split", default="train")
 
+    fc = sub.add_parser("frame_cache", help="build the columnar .tdc point cache")
+    fc.add_argument("--info_path", required=True)
+    fc.add_argument("--no_sweeps", action="store_true")
+
     n = sub.add_parser("nuscenes_data_prep", help="build nuScenes infos (needs nuscenes-devkit)")
     n.add_argument("--root_path", required=True)
     n.add_argument("--version", default="v1.0-trainval")
@@ -48,6 +52,15 @@ def main():
         from tdal.data.waymo_converter import convert_tfrecords
 
         convert_tfrecords(args.records, args.out_root, args.split)
+    elif args.cmd == "frame_cache":
+        import pickle
+
+        from tdal.data.frame_cache import build_cache
+
+        with open(args.info_path, "rb") as f:
+            infos = pickle.load(f)
+        n = build_cache(infos, with_sweeps=not args.no_sweeps)
+        print(f"wrote {n} .tdc files")
     elif args.cmd == "nuscenes_data_prep":
         from tdal.data.nuscenes import create_nuscenes_infos
 
