@@ -239,7 +239,14 @@ def create_pd_detection(
             gt_box7 = (
                 gt_box9[:, [0, 1, 2, 3, 4, 5, 8]] if gt_box9.size else np.zeros((0, 7))
             )
-            lidars = load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
+            from tdal.data.frame_cache import read_frame_points
+
+            cached = read_frame_points(infos[token]["path"])
+            lidars = (
+                cached[:, :3]
+                if cached is not None
+                else load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
+            )
             box3d = np.array(detection["box3d_lidar"], np.float64)
             # detector (KITTI) -> Waymo convention (waymo_common.py:106-111)
             if len(box3d):
