@@ -20,7 +20,7 @@ import tempfile
 import time
 
 B, N, NOBJ = 32, 512, 512
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS = 5, 50  # the labeler fwd is ~2.6ms; long runs damp tunnel jitter
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
 
