@@ -90,3 +90,63 @@ def merge_dicts(results: Sequence[Dict]) -> Dict:
     for r in results:
         out.update(r)
     return out
+
+
+def run_sharded_resumable(
+    stage_fn: Callable[[int, Dict[str, dict]], object],
+    info_map: Dict[str, dict],
+    out_dir,
+    n_shards: int = 16,
+    processes: bool = False,
+) -> List[object]:
+    """run_sharded with per-shard checkpointing: a 200k-frame array job that
+    dies mid-way resumes by skipping every shard whose output pickle exists.
+
+    Each shard's result is written to out_dir/shard_{i:04d}.pkl atomically
+    (tmp + rename); a restart recomputes only the missing shards. The failure
+    model the reference handled by hand-rerunning `--split i` CLI invocations
+    (SURVEY §5.3)."""
+    import pickle
+    from pathlib import Path
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    shards = partition_by_sequence(info_map, n_shards)
+
+    def shard_path(i):
+        return out_dir / f"shard_{i:04d}.pkl"
+
+    def run_one(i, shard):
+        p = shard_path(i)
+        if p.exists():
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        result = stage_fn(i, shard)
+        tmp = p.with_suffix(".tmp")
+        with open(tmp, "wb") as f:
+            pickle.dump(result, f)
+        tmp.rename(p)
+        return result
+
+    jobs = [(i, s) for i, s in enumerate(shards) if s]
+    if not processes:
+        return [run_one(i, s) for i, s in jobs]
+    import multiprocessing as mp
+
+    todo = [(i, s) for i, s in jobs if not shard_path(i).exists()]
+    if todo:
+        global _STAGE_FN
+        _STAGE_FN = lambda i, s: run_one(i, s)
+        ctx = mp.get_context("fork")
+        pool = ctx.Pool(len(todo))
+        try:
+            list(pool.imap_unordered(_run_stage, todo))
+        finally:
+            pool.terminate()
+            pool.join()
+            _STAGE_FN = None
+    out = []
+    for i, _ in jobs:
+        with open(shard_path(i), "rb") as f:
+            out.append(pickle.load(f))
+    return out

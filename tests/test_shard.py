@@ -64,3 +64,31 @@ def test_parallel_batch_iterator_matches_serial():
         np.testing.assert_array_equal(a["x"], b["x"])
         assert a["token"] == b["token"]
         assert a["n_valid"] == b["n_valid"]
+
+
+def test_run_sharded_resumable(tmp_path):
+    """A crashed array job resumes by skipping completed shards."""
+    from tdal.pipeline.shard import run_sharded_resumable
+
+    info_map = _fake_info_map()
+    calls = []
+
+    def stage(shard_id, shard):
+        calls.append(shard_id)
+        return {t: sequence_of(t) for t in shard}
+
+    out = tmp_path / "stage"
+    first = run_sharded_resumable(stage, info_map, out, n_shards=3)
+    n_first = len(calls)
+    assert n_first >= 2
+    # "crash": delete ONE shard's output; resume recomputes only that shard
+    victims = sorted(out.glob("shard_*.pkl"))
+    victims[0].unlink()
+    calls.clear()
+    second = run_sharded_resumable(stage, info_map, out, n_shards=3)
+    assert len(calls) == 1
+    assert merge_dicts(second) == merge_dicts(first)
+    # fully-complete run touches nothing
+    calls.clear()
+    third = run_sharded_resumable(stage, info_map, out, n_shards=3, processes=True)
+    assert calls == [] and merge_dicts(third) == merge_dicts(first)
