@@ -94,6 +94,7 @@ def train_detector(
     val_ds=None,
     val_every: int = 1,
     val_max_frames: int = None,
+    profile_dir=None,
 ):
     from tdal.parallel.mesh import shard_batch
 
@@ -113,7 +114,15 @@ def train_detector(
             batch.pop("gt_boxes_and_cls", None)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
+            # steady-state trace capture (reference: torchie IterTimerHook +
+            # nvprof workflows; here jax.profiler xplane/perfetto output)
+            if profile_dir is not None and epoch == 0 and i == 5:
+                jax.profiler.start_trace(str(profile_dir))
             state, logs = train_step(state, batch)
+            if profile_dir is not None and epoch == 0 and i == 9:
+                force_completion(state.params)
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace (steps 5-9) -> {profile_dir}")
             buf.update({k: float(v) for k, v in logs.items()})
             if (i + 1) % log_every == 0:
                 buf.average(log_every)
@@ -152,6 +161,7 @@ def run_inference(
     logger,
     speed_test: bool = False,
     double_flip: bool = False,
+    profile_dir=None,
 ):
     """Inference over a dataset -> {token: {box3d_lidar, scores, label_preds}}.
 
@@ -179,6 +189,9 @@ def run_inference(
 
             variants = [double_flip_points(p) for p in points]
             points = np.stack([v for vs in variants for v in vs])  # (B*4, N, D)
+        profile_stop = min(start_idx + 2, n_batches - 1)
+        if profile_dir is not None and bi == start_idx:
+            jax.profiler.start_trace(str(profile_dir))
         # Time with a forced one-scalar host fetch: block_until_ready can return
         # before execution finishes through the axon PJRT tunnel (CLAUDE.md /
         # benchmarks/RESULTS.md), which made the reference-style timing
@@ -187,6 +200,10 @@ def run_inference(
         preds = predict_step(state, jax.numpy.asarray(points))
         force_completion(preds)
         dt = time.time() - t0
+        if profile_dir is not None and bi == profile_stop:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace (middle batches) -> {profile_dir}")
+            profile_dir = None
         if speed_test and bi >= start_idx and bi < 2 * start_idx:
             times.append(dt / batch_size)
         host = predictions_to_host(preds, tokens[:n_valid])

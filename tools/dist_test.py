@@ -41,6 +41,8 @@ def parse_args():
     parser.add_argument("--speed_test", action="store_true")
     parser.add_argument("--double_flip", action="store_true", help="4-variant flip TTA")
     parser.add_argument("--evaluate", action="store_true", help="write det_annos/proto")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of middle batches")
     return parser.parse_args()
 
 
@@ -111,7 +113,7 @@ def main():
         detections = run_inference(
             detector, state, ds, test_cfg, code_weights,
             batch_size=batch_size, logger=logger, speed_test=args.speed_test,
-            double_flip=args.double_flip,
+            double_flip=args.double_flip, profile_dir=args.profile_dir,
         )
     with open(work_dir / "prediction.pkl", "wb") as f:
         pickle.dump(detections, f)

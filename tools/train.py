@@ -43,6 +43,8 @@ def parse_args():
     parser.add_argument("--val_every", type=int, default=1, help="val every N epochs")
     parser.add_argument("--val_max_frames", type=int, default=None)
     parser.add_argument("--no_val", action="store_true", help="disable in-training val")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of train steps 5-9")
     return parser.parse_args()
 
 
@@ -165,7 +167,7 @@ def main():
             n_epoch=total_epochs, batch_size=batch_size, logger=logger,
             work_dir=work_dir, weight=weight, mesh=mesh,
             val_ds=val_ds, val_every=args.val_every,
-            val_max_frames=args.val_max_frames,
+            val_max_frames=args.val_max_frames, profile_dir=args.profile_dir,
         )
     logger.info("Done.")
 
