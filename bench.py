@@ -292,7 +292,7 @@ def measure_trackdata_extraction() -> float:
 
     with tempfile.TemporaryDirectory() as tmp:
         infos, _scenes = make_synthetic_dataset(
-            tmp, n_scenes=1, n_frames=12, seed=0,
+            tmp, n_scenes=1, n_frames=24, seed=0,
             n_static=16, n_dynamic=16, points_per_object=256, n_background=20000,
         )
         info_map = reorganize_info(infos)
