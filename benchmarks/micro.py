@@ -17,25 +17,7 @@ import numpy as np
 import optax
 
 
-def _fetch(r):
-    """Force completion with a host transfer: block_until_ready is unreliable
-    through the axon PJRT tunnel (returns before execution finishes)."""
-    leaf = jax.tree_util.tree_leaves(r)[0]
-    return float(jnp.asarray(leaf).reshape(-1)[0])
-
-
-def timeit(fn, *args, iters=10, warmup=2):
-    """fn must CHAIN state through its argument (carry) so iterations serialize."""
-    carry = args[0]
-    rest = args[1:]
-    for _ in range(warmup):
-        carry = fn(carry, *rest)
-    _fetch(carry)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = fn(carry, *rest)
-    _fetch(carry)
-    return (time.perf_counter() - t0) / iters
+from tdal.utils.timing import timeit_chained as timeit  # noqa: E402
 
 
 def report(name, ms, unit="ms", **extra):
