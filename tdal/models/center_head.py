@@ -43,7 +43,7 @@ class SepHead(nn.Module):
     init_bias: float = -2.19
     dtype: jnp.dtype = jnp.float32
 
-    def _masked_conv(self, h, cin_per, cout_per, bias_vals, name):
+    def _masked_conv(self, h, cin_per, cout_per, bias_vals, name, train=False):
         """Block-diagonal conv: branch i maps its cin_per[i] slice to its
         cout_per[i] slice. Masked dense weights keep it ONE conv op; the mask
         also zeroes the gradient outside the blocks (chain rule through w*mask)."""
@@ -80,6 +80,9 @@ class SepHead(nn.Module):
             ci += a
             co += c
         w = (kernel * jnp.asarray(mask)).astype(self.dtype)
+        # NOTE: a Pallas variant (Cout padded 13->64) was tried and measured
+        # SLOWER in the full train step (122.8 vs 105 ms) — XLA's tiny-output
+        # conv + its fused backward win here; keep the masked dense conv.
         y = jax.lax.conv_general_dilated(
             h.astype(self.dtype), w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -115,7 +118,7 @@ class SepHead(nn.Module):
                     )(h)
                 else:
                     h = self._masked_conv(
-                        h, [hc] * g, [hc] * g, [0.0] * g, f"branch_conv{d}"
+                        h, [hc] * g, [hc] * g, [0.0] * g, f"branch_conv{d}", train
                     )
                 h = nn.BatchNorm(
                     use_running_average=not train, momentum=0.99, epsilon=1e-3,
@@ -131,7 +134,7 @@ class SepHead(nn.Module):
                     dtype=self.dtype, name="final_conv",
                 )(h)
             else:
-                y = self._masked_conv(h, [hc] * g, outs, bias_vals, "final_conv")
+                y = self._masked_conv(h, [hc] * g, outs, bias_vals, "final_conv", train)
             out, co = {}, 0
             for name, c in zip(names, outs):
                 out[name] = y[..., co : co + c]
