@@ -103,7 +103,7 @@ def bench_pointpillars():
 
     VOX = VoxelConfig((-74.88, -74.88, -2, 74.88, 74.88, 4.0), (0.32, 0.32, 6.0), 20, 32000)
     TASKS = [dict(num_class=3, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"])]
-    det = PointPillars(voxel_cfg=VOX, tasks=tuple(TASKS))
+    det = PointPillars(voxel_cfg=VOX, tasks=tuple(TASKS), dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     pts = rng.uniform(-74, 74, (160000, 5)).astype(np.float32)
     padded = pad_points(pts, 180000)
