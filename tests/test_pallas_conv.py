@@ -52,3 +52,58 @@ def test_pallas_conv_module_params_match_nn_conv():
     ref = nn.Conv(12, (3, 3), padding="SAME", use_bias=True)
     out_ref = ref.apply({"params": vs["params"]}, x)
     np.testing.assert_allclose(mod.apply(vs, x), out_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_conv_bn_matches_reference_composition():
+    """FusedConvBN == nn.Conv -> nn.BatchNorm -> relu in BOTH modes, including
+    running-stat updates and the eval-time folding."""
+    import flax.linen as nn
+
+    from tdal.models.layers import FusedConvBN
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 16, 16, 8))
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Conv(12, (3, 3), padding="SAME", use_bias=True)(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3
+            )(x)
+            return nn.relu(x)
+
+    fused = FusedConvBN(12, use_bias=True)
+    fv = fused.init(key, x, False)
+    ref = Ref()
+    rv = ref.init(key, x, False)
+    # graft fused params onto the reference layout
+    rp = {
+        "Conv_0": {"kernel": fv["params"]["kernel"], "bias": fv["params"]["conv_bias"]},
+        "BatchNorm_0": {"scale": fv["params"]["scale"], "bias": fv["params"]["bias"]},
+    }
+    rbs = {"BatchNorm_0": {"mean": fv["batch_stats"]["mean"],
+                           "var": fv["batch_stats"]["var"]}}
+
+    # train mode: same outputs AND same updated running stats
+    yf, updf = fused.apply(fv, x, True, mutable=["batch_stats"])
+    yr, updr = ref.apply({"params": rp, "batch_stats": rbs}, x, True,
+                         mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yr), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(updf["batch_stats"]["mean"]),
+        np.asarray(updr["batch_stats"]["BatchNorm_0"]["mean"]), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(updf["batch_stats"]["var"]),
+        np.asarray(updr["batch_stats"]["BatchNorm_0"]["var"]), rtol=1e-5, atol=1e-6,
+    )
+
+    # eval mode with nontrivial running stats: the folded affine must match
+    fv2 = {"params": fv["params"], "batch_stats": {
+        "mean": jnp.linspace(-1, 1, 12), "var": jnp.linspace(0.5, 2, 12)}}
+    rbs2 = {"BatchNorm_0": {"mean": fv2["batch_stats"]["mean"],
+                            "var": fv2["batch_stats"]["var"]}}
+    ye_f = fused.apply(fv2, x, False)
+    ye_r = ref.apply({"params": rp, "batch_stats": rbs2}, x, False)
+    np.testing.assert_allclose(np.asarray(ye_f), np.asarray(ye_r), rtol=1e-5, atol=1e-5)
