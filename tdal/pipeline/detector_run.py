@@ -116,13 +116,18 @@ def train_detector(
                 batch = shard_batch(batch, mesh)
             # steady-state trace capture (reference: torchie IterTimerHook +
             # nvprof workflows; here jax.profiler xplane/perfetto output)
-            if profile_dir is not None and epoch == 0 and i == 5:
+            prof_start = min(5, max(steps_per_epoch - 2, 0))
+            prof_stop = min(prof_start + 4, steps_per_epoch - 1)
+            if profile_dir is not None and epoch == 0 and i == prof_start:
                 jax.profiler.start_trace(str(profile_dir))
             state, logs = train_step(state, batch)
-            if profile_dir is not None and epoch == 0 and i == 9:
+            if profile_dir is not None and epoch == 0 and i == prof_stop:
                 force_completion(state.params)
                 jax.profiler.stop_trace()
-                logger.info(f"profiler trace (steps 5-9) -> {profile_dir}")
+                logger.info(
+                    f"profiler trace (steps {prof_start}-{prof_stop}) -> {profile_dir}"
+                )
+                profile_dir = None
             buf.update({k: float(v) for k, v in logs.items()})
             if (i + 1) % log_every == 0:
                 buf.average(log_every)

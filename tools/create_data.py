@@ -5,6 +5,11 @@ Capability parity with reference ``tools/create_data.py:10-22`` (waymo_data_prep
 + gt database) plus the converter entry of ``det3d/datasets/waymo/waymo_converter.py``.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 
 

@@ -7,6 +7,11 @@ evaluation path (create_pd_detection). Data-parallel eval sharding is the Mesh, 
 NCCL/apex (dist_test.py:89-133).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

@@ -5,6 +5,11 @@ labeler over every per-frame sample (ordered), decodes one refined box per frame
 that frame's vehicle coords, reports corner-IoU metrics and patches det_annos rows.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

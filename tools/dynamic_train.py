@@ -5,6 +5,11 @@ drops unmatched tracks, 90/10 split, trains the per-frame dynamic Frustum-PointN
 (+ box-trajectory embedding) labeler, per-epoch eval, best-checkpoint saving.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

@@ -4,6 +4,11 @@ Capability parity with reference ``tools/eval.py:38-104`` (which needs the exter
 pcdet CUDA iou3d) — here the IoU matrix is one jit'd call into tdal.core.iou.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 

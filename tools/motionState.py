@@ -6,6 +6,11 @@ bit, split tracks into trackStatic / trackDynamic pickles (GT split for train,
 predicted split for val).
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import os
 import pickle

@@ -6,6 +6,11 @@ per track, broadcasts it to all the track's frames, reports corner-IoU metrics
 (acc@0.7 vehicle / @0.5 cyclist) and patches the matching det_annos rows in place.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

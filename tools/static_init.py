@@ -4,6 +4,11 @@ Capability parity with reference ``tools/static_init.py``: the two lower bounds 
 learned static labeler must beat; optionally patches det_annos with the broadcast box.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

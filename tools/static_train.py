@@ -6,6 +6,11 @@ Frustum-PointNet labeler with Adam + step-decay LR, evaluates per epoch, saves t
 best-by-eval-acc checkpoint. TPU-native: one jit'd train step, data-sharded Mesh.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path

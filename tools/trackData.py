@@ -5,6 +5,11 @@ pickles -> trackID-keyed {type, bbox, score, point, match, token} dicts; 16-way 
 for the train split, single track.pkl for val.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import os
 import pickle

@@ -5,6 +5,11 @@ across frames in the global frame and labels each track static iff displacement 
 and max speed < 1 m/s.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 

@@ -6,6 +6,11 @@ with the TPU-native runtime: jit'd step, data-parallel Mesh over all devices (re
 NCCL DDP init at tools/train.py:84-88), orbax checkpoints.
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import argparse
 import pickle
 from pathlib import Path
