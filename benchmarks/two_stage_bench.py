@@ -30,9 +30,11 @@ from tdal.runtime.config import Config
 from tdal.runtime.train_state import TrainState
 from tdal.utils.timing import chain, force_completion, timeit_chained
 
-CFG = (
-    Path(__file__).resolve().parent.parent
-    / "configs/waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_6epoch.py"
+import os
+
+CFG = Path(__file__).resolve().parent.parent / os.environ.get(
+    "TDAL_TS_CONFIG",
+    "configs/waymo/pp/two_stage/waymo_centerpoint_pp_two_pfn_stride1_two_stage_bev_6epoch.py",
 )
 
 
