@@ -147,6 +147,14 @@ def voxelize_batch(points, cfg: VoxelConfig):
     grid = tuple(int(g) for g in cfg.grid_size)
     big = grid[0] * grid[1] * grid[2]
     if b * (big + 1) >= 2**31:
+        if big + 1 >= 2**31:
+            # A single sample already overflows the int32 sort key: the
+            # per-sample fallback below would recurse forever (voxelize calls
+            # voxelize_batch with b=1). No supported config has >=2^31 cells.
+            raise ValueError(
+                f"grid {grid} has {big} cells; >=2^31 overflows the int32 "
+                "flat-sort key even per-sample. Use a coarser voxel grid."
+            )
         # int32 sort key would overflow: fall back to per-sample flat sorts.
         f = lambda p: voxelize(p, cfg)
         outs = [f(points[i]) for i in range(b)]

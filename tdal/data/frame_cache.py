@@ -35,22 +35,29 @@ def _native():
 
 
 def write_points_cache(path, points: np.ndarray) -> None:
-    """points (N, D) float32 -> one .tdc blob."""
+    """points (N, D) float32 -> one .tdc blob (atomic: tmp file + rename)."""
+    import os
+
     points = np.ascontiguousarray(points, np.float32)
+    # Write to a sibling tmp then rename, so a crash mid-write never leaves a
+    # truncated .tdc behind (build_cache skips existing files, which would
+    # otherwise permanently pin the corrupt blob).
+    tmp = str(path) + f".tmp{os.getpid()}"
     lib = _native()
+    wrote = False
     if lib is not None:
-        rc = lib.tdc_write(
-            str(path).encode(), points, points.shape[0], points.shape[1]
+        wrote = (
+            lib.tdc_write(tmp.encode(), points, points.shape[0], points.shape[1]) == 0
         )
-        if rc == 0:
-            return
-    with open(path, "wb") as f:
-        f.write(_HEADER.pack(MAGIC, points.shape[0], points.shape[1], 0))
-        f.write(points.tobytes())
+    if not wrote:
+        with open(tmp, "wb") as f:
+            f.write(_HEADER.pack(MAGIC, points.shape[0], points.shape[1], 0))
+            f.write(points.tobytes())
+    os.replace(tmp, path)
 
 
 def read_points_cache(path) -> np.ndarray:
-    """One .tdc blob -> (N, D) float32."""
+    """One .tdc blob -> (N, D) float32. Raises ValueError on a corrupt file."""
     lib = _native()
     if lib is not None:
         import ctypes
@@ -62,10 +69,16 @@ def read_points_cache(path) -> np.ndarray:
             if lib.tdc_read(str(path).encode(), out, n.value, d.value) == 0:
                 return out
     with open(path, "rb") as f:
-        magic, n, d, _ = _HEADER.unpack(f.read(16))
+        header = f.read(16)
+        if len(header) < 16:
+            raise ValueError(f"truncated TDC header: {path}")
+        magic, n, d, _ = _HEADER.unpack(header)
         if magic != MAGIC:
             raise ValueError(f"not a TDC file: {path}")
-        return np.frombuffer(f.read(n * d * 4), np.float32).reshape(n, d)
+        body = f.read(n * d * 4)
+        if len(body) != n * d * 4:
+            raise ValueError(f"truncated TDC body: {path}")
+        return np.frombuffer(body, np.float32).reshape(n, d)
 
 
 def cache_path_for(frame_path) -> Path:
@@ -106,8 +119,15 @@ def build_cache(infos, logger=None, with_sweeps: bool = True) -> int:
 
 
 def read_frame_points(frame_path) -> np.ndarray | None:
-    """Cached [xyz, tanh(int), elong] for a frame pickle path, or None."""
+    """Cached [xyz, tanh(int), elong] for a frame pickle path, or None.
+
+    Returns None (-> callers fall back to the pickle) on ANY read/validation
+    failure, so a corrupt cache file degrades to the slow path instead of
+    breaking loading of that frame."""
     p = cache_path_for(frame_path)
     if not p.exists():
         return None
-    return read_points_cache(p)
+    try:
+        return read_points_cache(p)
+    except Exception:
+        return None

@@ -311,6 +311,10 @@ def parallel_batch_iterator(
     with torch DataLoader workers (datasets/loader/build_loader.py:29-60).
     The dataset is published to workers via fork copy-on-write (no pickling);
     batch order is deterministic (imap preserves submission order)."""
+    from tdal.utils.procutils import fork_safe
+
+    if num_workers > 0 and not fork_safe("parallel_batch_iterator"):
+        num_workers = 0
     if num_workers <= 0:
         yield from batch_iterator(
             dataset, batch_size, shuffle=shuffle, seed=seed,

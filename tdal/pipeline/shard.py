@@ -64,9 +64,13 @@ def run_sharded(
     on a single chip — sharding still bounds memory and enables resume).
     processes=True: a fork pool, one worker per shard (host-bound stages, or
     one-process-per-host launches). Results return in shard order."""
+    from tdal.utils.procutils import fork_safe
+
     n_shards = n_shards or (os.cpu_count() or 8)
     shards = partition_by_sequence(info_map, n_shards)
     jobs = [(i, s) for i, s in enumerate(shards) if s]
+    if processes and not fork_safe("run_sharded"):
+        processes = False
     if not processes:
         return [stage_fn(i, s) for i, s in jobs]
     import multiprocessing as mp
@@ -109,6 +113,10 @@ def run_sharded_resumable(
     import pickle
     from pathlib import Path
 
+    from tdal.utils.procutils import fork_safe
+
+    if processes and not fork_safe("run_sharded_resumable"):
+        processes = False
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     shards = partition_by_sequence(info_map, n_shards)

@@ -138,7 +138,10 @@ def load_checkpoint_uri(uri: str, target: Any = None, cache_dir=None, logger=Non
         extract = cache_dir / name
         if not extract.exists():
             with tarfile.open(local) as tf:
-                tf.extractall(extract)
+                # filter="data" rejects absolute paths, "..", links outside the
+                # tree, and device files — a hostile checkpoint archive must
+                # not be able to write outside the cache dir.
+                tf.extractall(extract, filter="data")
         # the archive holds one checkpoint-manager directory
         roots = [p for p in extract.iterdir() if p.is_dir()]
         ckpt_dir = roots[0] if len(roots) == 1 and not (extract / "latest.json").exists() else extract
@@ -146,20 +149,124 @@ def load_checkpoint_uri(uri: str, target: Any = None, cache_dir=None, logger=Non
     return CheckpointManager(uri).restore(target=target)
 
 
-def load_params_tolerant(restored: dict, target: dict, logger=None) -> dict:
+def migrate_legacy_conv_params(state: dict) -> dict:
+    """Rewrite pre-FusedConvBN checkpoint subtrees to the current layout.
+
+    Round-2 moved ConvBNReLU's 3x3 stride-1 case from nn.Conv+nn.BatchNorm
+    (``Conv_N/kernel`` + ``BatchNorm_N/{scale,bias}``, stats under
+    ``batch_stats/.../BatchNorm_N/{mean,var}``) to FusedConvBN (flat
+    ``FusedConvBN_N/{kernel,scale,bias}`` + stats ``{mean,var}``). This walks
+    the ``params`` collection, fuses sibling Conv_N/BatchNorm_N pairs that
+    match the FusedConvBN dispatch condition (3x3 kernel, no conv bias), and
+    applies the same renames at the same module paths inside ``batch_stats``
+    (where the kernel isn't visible, so params must drive). Trees without a
+    params collection, and subtrees that don't match, pass through unchanged."""
+    if not isinstance(state, dict) or "params" not in state:
+        return state
+    renames = []  # (module_path_tuple, old_bn_name, new_name)
+
+    def walk_params(tree, path):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        consumed = set()
+        for m, sub in tree.items():
+            if (
+                m.startswith("Conv_")
+                and isinstance(sub, dict)
+                and "kernel" in sub
+                and "bias" not in sub
+            ):
+                idx = m.split("_", 1)[1]
+                bn = f"BatchNorm_{idx}"
+                k = sub["kernel"]
+                if (
+                    bn in tree
+                    and isinstance(tree[bn], dict)
+                    and getattr(k, "ndim", 0) == 4
+                    and k.shape[0] == 3
+                    and k.shape[1] == 3
+                ):
+                    out[f"FusedConvBN_{idx}"] = {"kernel": k, **tree[bn]}
+                    consumed.update({m, bn})
+                    renames.append((path, bn, f"FusedConvBN_{idx}"))
+                    continue
+            if m not in consumed:
+                out[m] = walk_params(sub, path + (m,))
+        for m in consumed:
+            out.pop(m, None)
+        return out
+
+    new_state = dict(state)
+    new_state["params"] = walk_params(state["params"], ())
+    if "batch_stats" in state and renames:
+        import copy
+
+        bs = copy.deepcopy(state["batch_stats"])
+        for path, old, new in renames:
+            node = bs
+            ok = True
+            for p in path:
+                if not isinstance(node, dict) or p not in node:
+                    ok = False
+                    break
+                node = node[p]
+            if ok and isinstance(node, dict) and old in node:
+                node[new] = node.pop(old)
+        new_state["batch_stats"] = bs
+    return new_state
+
+
+def load_params_tolerant(
+    restored: dict, target: dict, logger=None, allow_partial_modules: bool = False
+) -> dict:
     """Overlay restored leaves onto target, skipping missing keys and shape mismatches.
 
     Parity: reference load_state_dict(strict=False)-with-shape-skips
     (torchie/trainer/checkpoint.py:42-94). Used for finetune/freeze flows where the
-    two-stage model loads first-stage weights."""
+    two-stage model loads first-stage weights.
+
+    Legacy flax trees (pre-FusedConvBN naming) are migrated via
+    migrate_legacy_conv_params before matching. If after that an ENTIRE target
+    module subtree restores zero leaves while the restored tree still has
+    unconsumed keys under the same parent (the signature of a layer rename,
+    not of a genuinely absent stage), this raises instead of silently leaving
+    the module at random init — pass allow_partial_modules=True to override."""
+    restored = migrate_legacy_conv_params(restored)
     flat_r = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
     flat_t, treedef = jax.tree_util.tree_flatten_with_path(target)
+    used = set()
     out = []
+    skipped = []
     for path, leaf in flat_t:
         if path in flat_r and getattr(flat_r[path], "shape", None) == getattr(leaf, "shape", None):
             out.append(flat_r[path])
+            used.add(path)
         else:
+            skipped.append(path)
             if logger is not None:
                 logger.warning(f"checkpoint: skipping {jax.tree_util.keystr(path)}")
             out.append(leaf)
+    if skipped and not allow_partial_modules:
+        # Group by module (path minus leaf name): a module with SOME leaves
+        # restored is a shape-mismatch case; one with NONE restored is either
+        # a genuinely new stage (fine — nothing similar in the checkpoint) or
+        # a rename (dangerous — the old weights sit unconsumed next door).
+        target_modules = {}
+        for path, _ in flat_t:
+            target_modules.setdefault(path[:-1], []).append(path)
+        unconsumed_parents = {p[:-1][:-1] for p in flat_r if p not in used}
+        for mod, paths in target_modules.items():
+            if any(p in used for p in paths):
+                continue
+            if all(p in skipped for p in paths) and mod[:-1] in unconsumed_parents:
+                names = [jax.tree_util.keystr(p) for p in paths[:4]]
+                raise ValueError(
+                    "checkpoint restore left module "
+                    f"{jax.tree_util.keystr(mod) or '<root>'} entirely at init "
+                    f"({names}...) while unrestored checkpoint keys exist under "
+                    "the same parent — this looks like a layer rename, not a "
+                    "missing stage. Migrate the checkpoint or pass "
+                    "allow_partial_modules=True if this is intentional."
+                )
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -75,3 +75,28 @@ def test_cache_read_is_faster_than_pickle(tmp_path):
     t_cache = time.perf_counter() - t0
     print(f"pickle {t_pickle*50:.2f} ms/frame vs tdc {t_cache*50:.2f} ms/frame")
     assert t_cache < t_pickle * 1.5  # generous: IO noise on shared hosts
+
+
+def test_corrupt_cache_falls_back_to_pickle(tmp_path):
+    """ADVICE r2: a truncated/corrupt .tdc must degrade to the pickle path
+    (read_frame_points -> None), never raise; writes are tmp+rename atomic."""
+    import os
+
+    from tdal.data.frame_cache import read_frame_points
+
+    pts = np.random.default_rng(1).normal(size=(500, 5)).astype(np.float32)
+    frame = tmp_path / "seq_0_frame_0.pkl"
+    frame.write_bytes(b"placeholder")
+    cache = cache_path_for(frame)
+    write_points_cache(cache, pts)
+    # no tmp residue after an atomic write
+    assert not [p for p in os.listdir(tmp_path) if ".tmp" in p]
+    np.testing.assert_array_equal(read_frame_points(frame), pts)
+
+    # truncate mid-body -> None (pickle fallback), not an exception
+    blob = cache.read_bytes()
+    cache.write_bytes(blob[: len(blob) // 2])
+    assert read_frame_points(frame) is None
+    # garbage header -> None too
+    cache.write_bytes(b"\x00" * 7)
+    assert read_frame_points(frame) is None

@@ -102,6 +102,91 @@ def test_load_params_tolerant():
     np.testing.assert_allclose(out["c"], 0.0)
 
 
+def test_migrate_legacy_conv_params_and_loud_rename_failure():
+    """ADVICE r2: pre-FusedConvBN checkpoints must either migrate exactly or
+    fail loudly — never silently leave a conv/BN stack at random init."""
+    import jax.numpy as jnp
+
+    from tdal.runtime.checkpoint import (
+        load_params_tolerant,
+        migrate_legacy_conv_params,
+    )
+
+    k = jnp.arange(3 * 3 * 4 * 8, dtype=jnp.float32).reshape(3, 3, 4, 8)
+    legacy = {
+        "params": {
+            "rpn": {
+                "block0": {
+                    "Conv_0": {"kernel": k},
+                    "BatchNorm_0": {"scale": jnp.full(8, 2.0), "bias": jnp.full(8, 3.0)},
+                    # a strided conv (with bias) must NOT be fused
+                    "Conv_1": {"kernel": k, "bias": jnp.zeros(8)},
+                }
+            }
+        },
+        "batch_stats": {
+            "rpn": {
+                "block0": {"BatchNorm_0": {"mean": jnp.full(8, 5.0), "var": jnp.full(8, 7.0)}}
+            }
+        },
+    }
+    mig = migrate_legacy_conv_params(legacy)
+    fused = mig["params"]["rpn"]["block0"]["FusedConvBN_0"]
+    np.testing.assert_allclose(fused["kernel"], k)
+    np.testing.assert_allclose(fused["scale"], 2.0)
+    np.testing.assert_allclose(fused["bias"], 3.0)
+    assert "Conv_0" not in mig["params"]["rpn"]["block0"]
+    assert "Conv_1" in mig["params"]["rpn"]["block0"]  # untouched
+    stats = mig["batch_stats"]["rpn"]["block0"]["FusedConvBN_0"]
+    np.testing.assert_allclose(stats["mean"], 5.0)
+    np.testing.assert_allclose(stats["var"], 7.0)
+
+    # End-to-end: a legacy checkpoint restores exactly into the fused target.
+    target = {
+        "params": {
+            "rpn": {
+                "block0": {
+                    "FusedConvBN_0": {
+                        "kernel": jnp.zeros_like(k),
+                        "scale": jnp.ones(8),
+                        "bias": jnp.zeros(8),
+                    },
+                    "Conv_1": {"kernel": jnp.zeros_like(k), "bias": jnp.ones(8)},
+                }
+            }
+        },
+        "batch_stats": {
+            "rpn": {"block0": {"FusedConvBN_0": {"mean": jnp.zeros(8), "var": jnp.ones(8)}}}
+        },
+    }
+    out = load_params_tolerant(legacy, target)
+    np.testing.assert_allclose(out["params"]["rpn"]["block0"]["FusedConvBN_0"]["kernel"], k)
+    np.testing.assert_allclose(out["batch_stats"]["rpn"]["block0"]["FusedConvBN_0"]["mean"], 5.0)
+
+    # A rename the migrator does NOT know about: whole module unrestored while
+    # old keys sit unconsumed under the same parent -> loud error, not silence.
+    weird = {
+        "params": {"rpn": {"block0": {"SomeOldConv_0": {"kernel": k, "bias": jnp.zeros(8)}}}}
+    }
+    tgt2 = {
+        "params": {
+            "rpn": {"block0": {"NewConv_0": {"kernel": jnp.zeros_like(k), "bias": jnp.zeros(8)}}}
+        }
+    }
+    with pytest.raises(ValueError, match="layer rename"):
+        load_params_tolerant(weird, tgt2)
+    out2 = load_params_tolerant(weird, tgt2, allow_partial_modules=True)
+    np.testing.assert_allclose(out2["params"]["rpn"]["block0"]["NewConv_0"]["kernel"], 0.0)
+
+    # Legitimate partial restore (finetune overlay: stage-2 absent from the
+    # checkpoint, nothing unconsumed) must keep working without the flag.
+    stage1 = {"params": {"stage1": {"w": jnp.ones(3)}}}
+    both = {"params": {"stage1": {"w": jnp.zeros(3)}, "stage2": {"w": jnp.zeros(3)}}}
+    out3 = load_params_tolerant(stage1, both)
+    np.testing.assert_allclose(out3["params"]["stage1"]["w"], 1.0)
+    np.testing.assert_allclose(out3["params"]["stage2"]["w"], 0.0)
+
+
 def test_load_checkpoint_uri_url_and_npz(tmp_path):
     """URL (file://) tarball + .npz zoo loading (checkpoint.py:96-174 parity)."""
     import tarfile
