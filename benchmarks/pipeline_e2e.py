@@ -1,0 +1,239 @@
+"""End-to-end 3DAL pipeline throughput on one synthetic segment (BASELINE.md row 5).
+
+Chains every offboard stage in-process, exactly as the CLIs do, and reports
+frames/sec over the whole detect -> track -> extract -> motion-classify ->
+static-label -> dynamic-label chain (reference docs/GETTING_STARTED.md:58-114):
+
+  1. detector inference (production PointPillars config, batch 2, padded points)
+     + det_annos extraction (dist_test --evaluate)
+  2. tracking (convert to global + greedy tracker)
+  3. trackData extraction (crop + GT match + emit) and reorganization
+  4. trackGT + motion-state features + classifier split
+  5. static labeler inference + postprocess (det_annos patch)
+  6. dynamic labeler inference + postprocess
+
+Model weights are fresh-init (detector and labelers): stage COMPUTE is
+shape-dependent, not weight-dependent, so throughput is representative while
+quality is not scored here (tests/test_full_pipeline.py asserts quality with
+trained models). The tracker score threshold is lowered so realistic box/track
+counts flow through every stage.
+
+Usage: python benchmarks/pipeline_e2e.py  (or bench.py imports measure()).
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PP_CONFIG = "configs/waymo/pp/waymo_centerpoint_pp_two_pfn_stride1_3x.py"
+
+
+def _build_detector_stack(max_points):
+    import jax
+    import optax
+
+    from tdal.models.builder import (
+        build_assigner,
+        build_detector,
+        build_test_cfg,
+        build_voxel_config,
+    )
+    from tdal.runtime.config import Config
+    from tdal.runtime.train_state import TrainState, init_model
+
+    cfg = Config.fromfile(str(Path(__file__).resolve().parent.parent / PP_CONFIG))
+    voxel_cfg = build_voxel_config(cfg.voxel_generator, train=False)
+    detector = build_detector(cfg.model, voxel_cfg)
+    assigner = build_assigner(cfg.train_cfg["assigner"], detector)
+    test_cfg = build_test_cfg(cfg.test_cfg, detector, voxel_cfg)
+    code_weights = cfg.model["bbox_head"].get("code_weights", [1.0] * 8)
+
+    import numpy as np
+
+    key = jax.random.PRNGKey(0)
+    pts = np.zeros((2, max_points, 5), np.float32)
+    params, bstats = init_model(detector, {"params": key}, jax.numpy.asarray(pts))
+    state = TrainState.create(params, optax.adam(1e-3), bstats)
+    return cfg, voxel_cfg, detector, assigner, test_cfg, code_weights, state
+
+
+def measure(
+    n_frames: int = 16,
+    n_background: int = 30000,
+    points_per_object: int = 256,
+    n_static: int = 10,
+    n_dynamic: int = 10,
+    batch_size: int = 2,
+    max_points: int = 180000,
+    npoints_static: int = 4096,
+    npoints_dynamic: int = 1024,
+    score_thresh: float = 0.1,
+    logger=None,
+) -> dict:
+    """Run the full chain twice (warm compile, then timed) and return
+    {"frames_per_sec", "n_frames", "stage_s": {...}}."""
+    import importlib.util
+    import logging
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    from tdal.data.detection import DetectionDataset
+    from tdal.data.synthetic import make_synthetic_dataset
+    from tdal.data.track_datasets import (
+        DynamicTrackDataset,
+        StaticTrackDataset,
+        preprocess_tracks,
+    )
+    from tdal.data.waymo_schema import AnnoStore, reorganize_info
+    from tdal.pipeline.detector_run import run_inference
+    from tdal.pipeline.factories import make_labeler
+    from tdal.pipeline.labeler_run import (
+        build_token2idx,
+        postprocess_dynamic,
+        postprocess_static,
+        predict_final_boxes,
+        sort_detections,
+    )
+    from tdal.pipeline.motion_state import (
+        build_track_gt,
+        fit_motion_classifier,
+        split_by_prediction,
+        track_features,
+    )
+    from tdal.pipeline.track_extraction import (
+        convert_detection_to_global_box,
+        create_pd_detection,
+        run_tracking,
+    )
+    from tdal.runtime.train_state import TrainState, init_model
+
+    logger = logger or logging.getLogger("pipeline_e2e")
+
+    # tools/trackData.py's reorganize, loaded from the actual CLI file
+    spec = importlib.util.spec_from_file_location(
+        "tool_trackData", Path(__file__).resolve().parent.parent / "tools/trackData.py"
+    )
+    trackdata_tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(trackdata_tool)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        infos, _scenes = make_synthetic_dataset(
+            tmp, n_scenes=1, n_frames=n_frames, seed=0,
+            n_static=n_static, n_dynamic=n_dynamic,
+            points_per_object=points_per_object, n_background=n_background,
+        )
+        info_map = reorganize_info(infos)
+        annos = AnnoStore(info_map)
+        (cfg, voxel_cfg, detector, assigner, test_cfg, code_weights, state
+         ) = _build_detector_stack(max_points)
+        ds = DetectionDataset(
+            infos, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+            assigner=assigner, voxel_cfg=voxel_cfg, mode="val",
+            max_points=max_points, shuffle_points=False,
+        )
+
+        # fresh-init labelers (see module docstring)
+        s_model, _, s_inputs, s_kind = make_labeler("one_box_est")
+        d_model, _, d_inputs, d_kind = make_labeler("dynamic")
+        key = jax.random.PRNGKey(0)
+
+        def labeler_state(model, example, extra):
+            import optax
+
+            args = tuple(
+                np.tile(example[k][None], (batch_size,) + (1,) * example[k].ndim)
+                for k in extra
+            )
+            p, bs = init_model(
+                model, {"params": key, "gather": key, "dropout": key}, *args
+            )
+            return TrainState.create(p, optax.adam(1e-3), bs)
+
+        def run_chain(out_root):
+            stage_s = {}
+            out = Path(out_root)
+            out.mkdir(exist_ok=True)
+
+            t0 = time.perf_counter()
+            detections = run_inference(
+                detector, state, ds, test_cfg, code_weights,
+                batch_size=batch_size, logger=logger,
+            )
+            det_annos, _ = create_pd_detection(
+                detections, info_map, out, tracking=False, logger=logger
+            )
+            stage_s["detect"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            global_preds, det_results = convert_detection_to_global_box(
+                detections, info_map, annos
+            )
+            predictions, _ids = run_tracking(
+                global_preds, det_results, score_thresh=score_thresh
+            )
+            stage_s["track"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            create_pd_detection(predictions, info_map, out, tracking=True, logger=logger)
+            import pickle
+
+            with open(out / "trackData.pkl", "rb") as f:
+                frame_track = pickle.load(f)
+            track = trackdata_tool.reorganize(frame_track)
+            stage_s["extract"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            track_gt = build_track_gt(list(info_map.values()))
+            X, y, new_track = track_features(track, track_gt)
+            clf = fit_motion_classifier(X, y)
+            preds = clf.predict(X) if len(X) else []
+            track_static, track_dynamic = split_by_prediction(new_track, preds)
+            stage_s["motion"] = time.perf_counter() - t0
+
+            det_annos = sort_detections(det_annos)
+            token2idx = build_token2idx(info_map, annos, det_annos)
+
+            t0 = time.perf_counter()
+            ts, _ = preprocess_tracks(track_static, annos, ratio=0.0, seed=0)
+            if ts:
+                s_ds = StaticTrackDataset(ts, annos, npoints=npoints_static, seed=0)
+                s_state = labeler_state(s_model, s_ds[0], ("pts", "init_box", "bbox_gt"))
+                s_boxes = predict_final_boxes(
+                    s_model, s_state, s_ds, s_inputs, s_kind, batch_size=64
+                )
+                postprocess_static(ts, annos, s_boxes, logger, det_annos, token2idx)
+            stage_s["static_label"] = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            if track_dynamic:
+                d_ds = DynamicTrackDataset(
+                    track_dynamic, annos, npoints=npoints_dynamic, seed=0
+                )
+                d_state = labeler_state(d_model, d_ds[0], ("pts", "boxes", "bbox_gt"))
+                d_boxes = predict_final_boxes(
+                    d_model, d_state, d_ds, d_inputs, d_kind, batch_size=64
+                )
+                postprocess_dynamic(
+                    track_dynamic, annos, d_boxes, logger, det_annos, token2idx
+                )
+            stage_s["dynamic_label"] = time.perf_counter() - t0
+            return stage_s
+
+        run_chain(Path(tmp) / "warm")  # compile warm-up pass
+        stage_s = run_chain(Path(tmp) / "timed")
+        total = sum(stage_s.values())
+        return {
+            "frames_per_sec": n_frames / total,
+            "n_frames": n_frames,
+            "total_s": total,
+            "stage_s": {k: round(v, 3) for k, v in stage_s.items()},
+        }
+
+
+if __name__ == "__main__":
+    out = measure()
+    print(out)

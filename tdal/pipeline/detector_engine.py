@@ -84,11 +84,18 @@ def make_tta_predict_step(detector, test_cfg: dict):
 def predictions_to_host(batch_preds, tokens):
     """Fixed-shape device predictions -> per-frame variable-length numpy dicts keyed
     like the reference's detection output (dist_test.py:169-180): token ->
-    {'box3d_lidar' (K, 7|9), 'scores' (K,), 'label_preds' (K,)}."""
-    boxes = np.asarray(batch_preds["box3d_lidar"])
-    scores = np.asarray(batch_preds["scores"])
-    labels = np.asarray(batch_preds["label_preds"])
-    valid = np.asarray(batch_preds["valid"])
+    {'box3d_lidar' (K, 7|9), 'scores' (K,), 'label_preds' (K,)}.
+
+    One jax.device_get of the whole tree: through the axon tunnel a single
+    batched fetch measures ~26 ms where four sequential np.asarray() fetches
+    of the same arrays measure 100+ ms (each pays full round-trip latency)."""
+    import jax
+
+    host = jax.device_get(batch_preds)
+    boxes = host["box3d_lidar"]
+    scores = host["scores"]
+    labels = host["label_preds"]
+    valid = host["valid"]
     out = {}
     for i, token in enumerate(tokens):
         m = valid[i]

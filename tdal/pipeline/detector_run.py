@@ -183,6 +183,12 @@ def run_inference(
     detections = {}
     n_batches = (len(dataset) + batch_size - 1) // batch_size
     start_idx, times = n_batches // 3, []
+    # Software pipeline: upload + enqueue batch i, THEN fetch batch i-1's
+    # outputs — the device computes batch i while the (latency-bound, ~100 ms
+    # through the axon tunnel) host fetch of batch i-1 is in flight. In
+    # --speed_test mode the loop stays fully synchronous so per-frame numbers
+    # remain honest chained timings (see tdal.utils.timing).
+    pending = None  # (preds, tokens) of the previous batch
     for bi, batch in enumerate(
         detection_batches(dataset, batch_size, shuffle=False)
     ):
@@ -202,19 +208,23 @@ def run_inference(
         # benchmarks/RESULTS.md), which made the reference-style timing
         # (dist_test.py:148-186, torch.cuda.synchronize) read near-zero here.
         t0 = time.time()
-        preds = predict_step(state, jax.numpy.asarray(points))
-        force_completion(preds)
-        dt = time.time() - t0
+        preds = predict_step(state, jax.device_put(points))
+        if speed_test:
+            force_completion(preds)
+            dt = time.time() - t0
+            if bi >= start_idx and bi < 2 * start_idx:
+                times.append(dt / batch_size)
+        if pending is not None:
+            detections.update(predictions_to_host(*pending))
+        pending = (preds, tokens[:n_valid])
         if profile_dir is not None and bi == profile_stop:
             jax.profiler.stop_trace()
             logger.info(f"profiler trace (middle batches) -> {profile_dir}")
             profile_dir = None
-        if speed_test and bi >= start_idx and bi < 2 * start_idx:
-            times.append(dt / batch_size)
-        host = predictions_to_host(preds, tokens[:n_valid])
-        detections.update(host)
         if (bi + 1) % 20 == 0:
             logger.info(f"inference {bi + 1}/{n_batches}")
+    if pending is not None:
+        detections.update(predictions_to_host(*pending))
     if speed_test and times:
         logger.info(f"Total time per frame: {np.mean(times):.4f}s (middle third)")
     return detections

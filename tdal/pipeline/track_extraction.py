@@ -226,59 +226,10 @@ def create_pd_detection(
     if "train" in str(result_path):
         items = items[: int(len(items) * ratio)]
 
-    for chunk_start in range(0, len(items), CHUNK_FRAMES):
-        chunk = items[chunk_start : chunk_start + CHUNK_FRAMES]
-        # ---- host load phase ----
-        frames = []
-        for token, detection in chunk:
-            entry = annos.get(token)
-            obj = entry["annos"]
-            gt_box9 = np.array(
-                [o["box"] for o in obj["objects"]], np.float64
-            ).reshape(-1, 9)
-            gt_box7 = (
-                gt_box9[:, [0, 1, 2, 3, 4, 5, 8]] if gt_box9.size else np.zeros((0, 7))
-            )
-            from tdal.data.frame_cache import read_frame_points
-
-            cached = read_frame_points(infos[token]["path"])
-            lidars = (
-                cached[:, :3]
-                if cached is not None
-                else load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
-            )
-            box3d = np.array(detection["box3d_lidar"], np.float64)
-            # detector (KITTI) -> Waymo convention (waymo_common.py:106-111)
-            if len(box3d):
-                box3d[:, -1] = -box3d[:, -1] - np.pi / 2
-                box3d = box3d[:, [0, 1, 2, 4, 3, 5, -1]]
-            else:
-                box3d = np.zeros((0, 7))
-            frames.append((token, detection, entry, gt_box7, lidars, box3d))
-
-        # ---- one fixed-shape device call per chunk (crop idx + IoU) ----
-        d_pad = _round_up(max(len(f[5]) for f in frames), 64)
-        g_pad = _round_up(max(max(len(f[3]) for f in frames), 1), 64)
-        n_pad = _round_up(max(len(f[4]) for f in frames), 32768)
-        F = len(frames)
-        det_b = np.zeros((CHUNK_FRAMES, d_pad, 7), np.float32)
-        det_b[..., 3:6] = 1e-3  # degenerate padding boxes
-        gt_b = np.zeros((CHUNK_FRAMES, g_pad, 7), np.float32)
-        gt_b[..., 3:6] = 1e-3
-        pts_b = np.full((CHUNK_FRAMES, n_pad, 3), 1e9, np.float32)
-        for fi, (_, _, _, gt_box7, lidars, box3d) in enumerate(frames):
-            det_b[fi, : len(box3d)] = box3d
-            gt_b[fi, : len(gt_box7)] = gt_box7
-            pts_b[fi, : len(lidars)] = lidars
-        packed_b, counts_b, iou_b = _crop_and_match_jax(
-            jnp.asarray(pts_b), jnp.asarray(det_b), jnp.asarray(gt_b)
-        )
-        packed_b = np.asarray(packed_b)
-        counts_b = np.asarray(counts_b)
-        iou_b = np.asarray(iou_b)
-
-        # ---- host emit phase ----
-        for fi in range(F):
+    def emit_chunk(frames, packed_b=None, counts_b=None, iou_b=None):
+        """Host emit phase for one fetched chunk. Device outputs are None on
+        the tracking=False fast path (no crops/matching consumers)."""
+        for fi in range(len(frames)):
             token, detection, entry, gt_box7, lidars, box3d = frames[fi]
             obj = entry["annos"]
             pose = entry["pose"]
@@ -299,17 +250,26 @@ def create_pd_detection(
                 }
             )
 
-            counts = counts_b[fi, : len(box3d)]
-            iou = iou_b[fi, : len(box3d), : len(gt_box7)]
-            lidars_global = lidars @ pose[:3, :3].T + pose[:3, 3]
-            # box-major bits: any padding-box bits sort after all real boxes,
-            # so truncating at the real total drops them exactly
-            flat = _decode_packed_nonzero(packed_b[fi])[: int(counts.sum())]
-            pt_ids = flat % n_pad
-            split_at = np.cumsum(counts)[:-1]
-            crops = np.split(
-                lidars_global[np.minimum(pt_ids, max(len(lidars) - 1, 0))], split_at
-            )
+            if packed_b is None:
+                # tracking=False fast path: det_annos + proto rows only, and
+                # neither consumes crops or IoU matching (the trackData dict
+                # built below is discarded). The reference computes crops here
+                # anyway (waymo_common.py:168-194) — pure waste skipped.
+                crops = [np.zeros((0, 3))] * len(box3d)
+                iou = np.zeros((len(box3d), 0))
+            else:
+                counts = counts_b[fi, : len(box3d)]
+                iou = iou_b[fi, : len(box3d), : len(gt_box7)]
+                n_pad = packed_b.shape[1] * 8 // max(counts_b.shape[1], 1)
+                lidars_global = lidars @ pose[:3, :3].T + pose[:3, 3]
+                # box-major bits: any padding-box bits sort after all real
+                # boxes, so truncating at the real total drops them exactly
+                flat = _decode_packed_nonzero(packed_b[fi])[: int(counts.sum())]
+                pt_ids = flat % n_pad
+                split_at = np.cumsum(counts)[:-1]
+                crops = np.split(
+                    lidars_global[np.minimum(pt_ids, max(len(lidars) - 1, 0))], split_at
+                )
 
             tracking_ids = detection.get("tracking_ids")
             td = {k: [] for k in ("id", "type", "bbox", "score", "point", "match")}
@@ -319,6 +279,76 @@ def create_pd_detection(
                 None if have_proto else proto_rows, tracking,
             )
             trackData[token] = td
+
+    # Software pipeline over chunks: dispatch the device call for chunk i,
+    # then fetch + emit chunk i-1 while chunk i computes. The fetch is ONE
+    # jax.device_get of all three outputs (sequential per-array fetches each
+    # pay ~100 ms of tunnel latency; one batched fetch pays it once).
+    pending = None  # (frames, device outputs) of the previous chunk
+    for chunk_start in range(0, len(items), CHUNK_FRAMES):
+        chunk = items[chunk_start : chunk_start + CHUNK_FRAMES]
+        # ---- host load phase ----
+        frames = []
+        for token, detection in chunk:
+            entry = annos.get(token)
+            obj = entry["annos"]
+            gt_box9 = np.array(
+                [o["box"] for o in obj["objects"]], np.float64
+            ).reshape(-1, 9)
+            gt_box7 = (
+                gt_box9[:, [0, 1, 2, 3, 4, 5, 8]] if gt_box9.size else np.zeros((0, 7))
+            )
+            if tracking:
+                from tdal.data.frame_cache import read_frame_points
+
+                cached = read_frame_points(infos[token]["path"])
+                lidars = (
+                    cached[:, :3]
+                    if cached is not None
+                    else load_pickle(infos[token]["path"])["lidars"]["points_xyz"]
+                )
+            else:
+                lidars = np.zeros((0, 3), np.float32)
+            box3d = np.array(detection["box3d_lidar"], np.float64)
+            # detector (KITTI) -> Waymo convention (waymo_common.py:106-111)
+            if len(box3d):
+                box3d[:, -1] = -box3d[:, -1] - np.pi / 2
+                box3d = box3d[:, [0, 1, 2, 4, 3, 5, -1]]
+            else:
+                box3d = np.zeros((0, 7))
+            frames.append((token, detection, entry, gt_box7, lidars, box3d))
+
+        if not tracking:
+            emit_chunk(frames)
+            continue
+
+        # ---- one fixed-shape device call per chunk (crop idx + IoU) ----
+        d_pad = _round_up(max(len(f[5]) for f in frames), 64)
+        g_pad = _round_up(max(max(len(f[3]) for f in frames), 1), 64)
+        n_pad = _round_up(max(len(f[4]) for f in frames), 32768)
+        F = len(frames)
+        det_b = np.zeros((CHUNK_FRAMES, d_pad, 7), np.float32)
+        det_b[..., 3:6] = 1e-3  # degenerate padding boxes
+        gt_b = np.zeros((CHUNK_FRAMES, g_pad, 7), np.float32)
+        gt_b[..., 3:6] = 1e-3
+        pts_b = np.full((CHUNK_FRAMES, n_pad, 3), 1e9, np.float32)
+        for fi, (_, _, _, gt_box7, lidars, box3d) in enumerate(frames):
+            det_b[fi, : len(box3d)] = box3d
+            gt_b[fi, : len(gt_box7)] = gt_box7
+            pts_b[fi, : len(lidars)] = lidars
+        import jax
+
+        outs = _crop_and_match_jax(
+            jax.device_put(pts_b), jax.device_put(det_b), jax.device_put(gt_b)
+        )
+        if pending is not None:
+            emit_chunk(pending[0], *jax.device_get(pending[1]))
+        pending = (frames, outs)
+
+    if pending is not None:
+        import jax
+
+        emit_chunk(pending[0], *jax.device_get(pending[1]))
 
     with open(result_path / "det_annos.pkl", "wb") as f:
         pickle.dump(det_annos, f)

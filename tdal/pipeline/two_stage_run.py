@@ -93,19 +93,30 @@ def run_two_stage_inference(engine: TwoStageEngine, state, dataset, batch_size, 
 
     from tdal.pipeline.detector_engine import predictions_to_host
 
+    from tdal.utils.timing import force_completion
+
     _, predict_step = engine.make_steps(donate=False)
     detections = {}
     n_batches = (len(dataset) + batch_size - 1) // batch_size
     start_idx, times = n_batches // 3, []
+    # Same software pipeline as detector_run.run_inference: fetch batch i-1's
+    # outputs while batch i computes (the axon-tunnel fetch is latency-bound);
+    # --speed_test stays synchronous via a forced scalar fetch.
+    pending = None
     for bi, batch in enumerate(detection_batches(dataset, batch_size, shuffle=False)):
         n_valid = batch.pop("n_valid")
         tokens = batch.pop("token")
         t0 = time.time()
-        preds = predict_step(state, jnp.asarray(batch["points"]))
-        preds = jax.tree_util.tree_map(lambda x: x.block_until_ready(), preds)
-        if speed_test and start_idx <= bi < 2 * start_idx:
-            times.append((time.time() - t0) / batch_size)
-        detections.update(predictions_to_host(preds, tokens[:n_valid]))
+        preds = predict_step(state, jax.device_put(np.asarray(batch["points"])))
+        if speed_test:
+            force_completion(preds)
+            if start_idx <= bi < 2 * start_idx:
+                times.append((time.time() - t0) / batch_size)
+        if pending is not None:
+            detections.update(predictions_to_host(*pending))
+        pending = (preds, tokens[:n_valid])
+    if pending is not None:
+        detections.update(predictions_to_host(*pending))
     if speed_test and times:
         logger.info(f"Total time per frame: {np.mean(times):.4f}s (middle third)")
     return detections

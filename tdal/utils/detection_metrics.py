@@ -5,15 +5,15 @@ binaries (waymo_common.py:222-231) and carries legacy KITTI numba AP code
 (datasets/utils/eval.py). This module provides an in-framework Waymo-style evaluator:
 
 - per-class Average Precision at 3D IoU thresholds (0.7 vehicle, 0.5 ped/cyclist),
-- APH (AP weighted by heading accuracy, the Waymo mAPH metric shape),
-- L2 difficulty split by GT num_points (<=5 -> L2-only).
+- APH (AP weighted by heading accuracy, the Waymo mAPH metric shape).
 
-L2 caveat: the real Waymo definition is num_points <= 5 OR a labeler-assigned
-LEVEL_2 tag carried in the source protos; the per-frame anno pickles don't carry
-the manual tag, so this split is the num_points half only. Treat the absolute
-L2 numbers as a tracking metric — devkit scoring (detection_pred.bin) is the
-acceptance path. The AP/APH arithmetic itself is oracle-tested
-(tests/test_detection_metrics_oracle.py).
+Caveat (hence the ``_l2approx`` summary-key tag): Waymo's L1/L2 difficulty
+split needs num_points AND the labeler-assigned LEVEL_2 tag from the source
+protos, which the per-frame anno pickles don't carry — so this evaluator
+scores ALL objects together (closest to the devkit's L2 cumulative split,
+which also includes every box). Treat absolute numbers as a tracking metric —
+devkit scoring (detection_pred.bin) is the acceptance path. The AP/APH
+arithmetic itself is oracle-tested (tests/test_detection_metrics_oracle.py).
 
 Matching is greedy by descending score against unmatched GTs with max IoU (the
 standard AP protocol); IoU comes from the jit'd tdal.core.iou matrix.
@@ -66,26 +66,28 @@ def evaluate_detection(
     ground_truths: Dict[str, dict],
     iou_thresholds: Dict[str, float] = None,
     class_names: Sequence[str] = CLASS_NAMES,
-    l2_max_points: int = 5,
 ) -> Dict[str, float]:
     """detections: token -> {'boxes' (K, 7) geometric lidar convention, 'scores',
     'labels' (0-based)}. ground_truths: token -> {'boxes' (G, 7), 'labels' (0-based),
-    'num_points' (G,)}. Returns {'{CLS}_AP', '{CLS}_APH', '{CLS}_AP_L2', 'mAP',
-    'mAPH'}."""
+    'num_points' (G,)}. Returns {'{CLS}_AP', '{CLS}_APH', 'mAP_l2approx',
+    'mAPH_l2approx'}.
+
+    The summary keys carry the ``_l2approx`` tag (VERDICT r2 item 9) so logs
+    from multi-day runs are never mistaken for devkit numbers: this evaluator
+    is in-framework, with the L2 difficulty definition approximated by
+    num_points only (module docstring). Devkit scoring of detection_pred.bin
+    remains the acceptance path."""
     iou_thresholds = iou_thresholds or DEFAULT_IOU_THRESH
     results = {}
     ap_all, aph_all = [], []
     for ci, cname in enumerate(class_names):
         thresh = iou_thresholds.get(cname, 0.5)
-        rows = []  # (score, tp, heading_acc, is_l2_matched)
+        rows = []  # (score, tp, heading_acc)
         n_gt = 0
-        n_gt_l2 = 0
         for token, gt in ground_truths.items():
             gsel = np.asarray(gt["labels"]) == ci
             gboxes = np.asarray(gt["boxes"])[gsel]
-            gnum = np.asarray(gt.get("num_points", np.full(gsel.sum(), 99)))[gsel]
             n_gt += len(gboxes)
-            n_gt_l2 += int((gnum <= l2_max_points).sum())
             det = detections.get(token, {"boxes": np.zeros((0, 7)), "scores": [], "labels": []})
             dsel = np.asarray(det["labels"]) == ci
             dboxes = np.asarray(det["boxes"])[dsel]
@@ -129,8 +131,8 @@ def evaluate_detection(
         results[f"{cname}_APH"] = aph
         ap_all.append(ap)
         aph_all.append(aph)
-    results["mAP"] = float(np.mean(ap_all)) if ap_all else 0.0
-    results["mAPH"] = float(np.mean(aph_all)) if aph_all else 0.0
+    results["mAP_l2approx"] = float(np.mean(ap_all)) if ap_all else 0.0
+    results["mAPH_l2approx"] = float(np.mean(aph_all)) if aph_all else 0.0
     return results
 
 

@@ -49,3 +49,46 @@ def timeit_chained(fn, carry, *rest, iters: int = 10, warmup: int = 2) -> float:
         carry = fn(carry, *rest)
     force_completion(carry)
     return (time.perf_counter() - t0) / iters
+
+
+def timeit_chained_stats(
+    fn, carry, *rest, iters: int = 10, warmup: int = 2, repeats: int = 5
+) -> dict:
+    """Repeat ``timeit_chained`` ``repeats`` times and report dispersion.
+
+    The axon tunnel's latency varies hour-to-hour and the round-2 headline
+    metric swung 2.7x between rounds on unchanged code (VERDICT r2 item 5);
+    a median over independent chained blocks with min/max attached makes
+    round-over-round deltas interpretable. Returns seconds/iteration stats
+    {"median", "min", "max", "mean", "repeats"}."""
+    samples = []
+    for r in range(repeats):
+        samples.append(
+            timeit_chained(fn, carry, *rest, iters=iters, warmup=warmup if r == 0 else 1)
+        )
+    samples.sort()
+    n = len(samples)
+    median = samples[n // 2] if n % 2 else 0.5 * (samples[n // 2 - 1] + samples[n // 2])
+    return {
+        "median": median,
+        "min": samples[0],
+        "max": samples[-1],
+        "mean": sum(samples) / n,
+        "repeats": n,
+    }
+
+
+def stats_timer(measure_once, repeats: int = 5) -> dict:
+    """Dispersion stats for an arbitrary zero-arg measurement returning
+    seconds (or any scalar): median/min/max/mean over ``repeats`` calls.
+    For measurements that can't be expressed as a chained-carry fn."""
+    samples = sorted(float(measure_once()) for _ in range(repeats))
+    n = len(samples)
+    median = samples[n // 2] if n % 2 else 0.5 * (samples[n // 2 - 1] + samples[n // 2])
+    return {
+        "median": median,
+        "min": samples[0],
+        "max": samples[-1],
+        "mean": sum(samples) / n,
+        "repeats": n,
+    }

@@ -46,7 +46,7 @@ def test_perfect_detection_ap_and_aph_one():
     m = evaluate_detection(dets, gts)
     assert m["VEHICLE_AP"] == pytest.approx(1.0)
     assert m["VEHICLE_APH"] == pytest.approx(1.0)
-    assert m["mAP"] == pytest.approx(1.0)
+    assert m["mAP_l2approx"] == pytest.approx(1.0)
 
 
 def test_heading_error_discounts_aph_not_ap():

@@ -54,7 +54,7 @@ def test_detector_train_and_test_cli(tmp_path):
         for line in open(work / "logs" / "metrics.jsonl")
     ]
     val_rows = [r for r in rows if any(k.startswith("val/") for k in r)]
-    assert val_rows and "val/mAP" in val_rows[-1]
+    assert val_rows and "val/mAP_l2approx" in val_rows[-1]
 
     _run_tool(
         "dist_test",
