@@ -141,6 +141,23 @@ class DynamicTrackDataset:
         self.rng = np.random.default_rng(seed)
         # Cumulative per-track frame offsets (dynamic_model.py:407-424 'heads').
         self.heads = np.cumsum([0] + [len(t["point"]) for t in self.tracks])
+        self._pt_cache: Dict[int, dict] = {}
+        self._bbox_cache: Dict[int, np.ndarray] = {}
+
+    def _pts(self, track_idx: int, frame_idx: int) -> np.ndarray:
+        cache = self._pt_cache.setdefault(track_idx, {})
+        if frame_idx not in cache:
+            cache[frame_idx] = np.asarray(
+                self.tracks[track_idx]["point"][frame_idx]
+            ).reshape(-1, 3)
+        return cache[frame_idx]
+
+    def _bbox_arr(self, track_idx: int) -> np.ndarray:
+        if track_idx not in self._bbox_cache:
+            self._bbox_cache[track_idx] = np.stack(
+                [np.asarray(b).reshape(7) for b in self.tracks[track_idx]["bbox"]]
+            )
+        return self._bbox_cache[track_idx]
 
     def __len__(self):
         return int(self.heads[-1])
@@ -242,6 +259,163 @@ class DynamicTrackDataset:
             "size_residuals_label": s_res.astype(np.float32),
         }
 
+    def build_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Vectorized batch assembly (VERDICT r2 item 7): the window point
+        gather, pose re-projections, in-box mask tests, and canonicalization
+        run as batched numpy over ALL items at once — the per-item path costs
+        ~2 ms/item of python overhead on a 1-core host, which made the loader
+        slower than the ~30 ms train step at B=64. Semantics match
+        ``__getitem__`` exactly except the random point-choice stream (a
+        different but equally-uniform with-replacement draw)."""
+        r, s, npts = self.r, self.s, self.npoints
+        W, S = 2 * r + 1, 2 * s + 1
+
+        # ---- resolve to valid (track, frame) pairs (resample-on-missing-GT,
+        # dynamic_model.py:486-488) ----
+        locs = []
+        for index in indices:
+            index = int(index)
+            for _ in range(len(self) + 1):
+                ti, ii = self._locate(index)
+                tr = self.tracks[ti]
+                if self.annos.find_object(tr["token"][ii], tr["match"][-1]) is not None:
+                    break
+                index = int(self.rng.integers(len(self)))
+            else:
+                raise RuntimeError("no dynamic track item has GT at its center frame")
+            locs.append((ti, ii))
+        B = len(locs)
+
+        # ---- per-item structure walk (light python; heavy math is batched) ----
+        srcs: list = []  # B*W point arrays (or None out of range/empty)
+        Ms = np.zeros((B, W, 4, 4))  # frame-j vehicle <- center vehicle
+        gt_bx = np.zeros((B, W, 7))
+        gt_valid = np.zeros((B, W), bool)
+        inv_poses = np.zeros((B, 4, 4))
+        boxes = np.zeros((B, S, 8))
+        boxes[:, :, 7] = 0.1 * (np.arange(S) - s)
+        in_range = np.zeros((B, S), bool)
+        bbox_gt = np.zeros((B, 7))
+        track_ids, tokens = [], []
+        for b, (ti, ii) in enumerate(locs):
+            tr = self.tracks[ti]
+            nf = len(tr["point"])
+            token = tr["token"][ii]
+            track_ids.append(self.track_ids[ti])
+            tokens.append(token)
+            inv_poses[b] = self.annos.inv_pose(token)
+            pose_center = self.annos.pose(token)
+            match = tr["match"][-1]
+            for j, i in enumerate(range(ii - r, ii + r + 1)):
+                if 0 <= i < nf:
+                    p = self._pts(ti, i)
+                    srcs.append(p if len(p) else None)
+                    t = tr["token"][i]
+                    obj = self.annos.find_object(t, match)
+                    if obj is not None:
+                        gt_bx[b, j] = box7_from_box9(np.asarray(obj["box"], np.float64))
+                        gt_valid[b, j] = True
+                        if i == ii:
+                            bbox_gt[b] = gt_bx[b, j]
+                    Ms[b, j] = self.annos.inv_pose(t) @ pose_center
+                else:
+                    srcs.append(None)
+            arr = self._bbox_arr(ti)
+            lo, hi = ii - s, ii + s + 1
+            src_lo, src_hi = max(lo, 0), min(hi, nf)
+            boxes[b, src_lo - lo : src_hi - lo, :7] = arr[src_lo:src_hi]
+            in_range[b, src_lo - lo : src_hi - lo] = True
+
+        # ---- one random gather over all B*W window slots ----
+        lens = np.array([0 if a is None else len(a) for a in srcs], np.int64)
+        nonempty = lens > 0
+        cat = (
+            np.concatenate([a for a in srcs if a is not None and len(a)])
+            if nonempty.any()
+            else np.zeros((1, 3))
+        )
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        pick = (self.rng.random((B * W, npts)) * np.maximum(lens, 1)[:, None]).astype(np.int64)
+        flat = np.minimum(offs[:, None] + pick, len(cat) - 1)
+        pts = cat[flat]  # (B*W, npts, 3) in the global frame
+        pts[~nonempty] = 0.0  # empty slots are zero-filled in GLOBAL coords
+        pts = pts.reshape(B, W, npts, 3)
+
+        # ---- global -> center-frame vehicle coords (batched) ----
+        R, t = inv_poses[:, :3, :3], inv_poses[:, :3, 3]
+        pts_c = pts @ R.transpose(0, 2, 1)[:, None] + t[:, None, None, :]
+
+        # ---- per-frame mask labels: re-project into each frame's vehicle
+        # coords and test against that frame's GT box (dynamic_model.py:481-483) ----
+        MR, Mt = Ms[:, :, :3, :3], Ms[:, :, :3, 3]
+        p_f = pts_c @ MR.transpose(0, 1, 3, 2) + Mt[:, :, None, :]
+        d = p_f - gt_bx[:, :, None, :3]
+        ch, sh = np.cos(gt_bx[..., 6]), np.sin(gt_bx[..., 6])
+        lx = ch[..., None] * d[..., 0] + sh[..., None] * d[..., 1]
+        ly = -sh[..., None] * d[..., 0] + ch[..., None] * d[..., 1]
+        half = gt_bx[..., 3:6] * 0.5
+        inb = (
+            (np.abs(lx) <= half[..., None, 0])
+            & (np.abs(ly) <= half[..., None, 1])
+            & (np.abs(d[..., 2]) <= half[..., None, 2])
+        )
+        mask_label = (inb & gt_valid[..., None]).astype(np.float32).reshape(B, W * npts)
+
+        # ---- box trajectory: global -> center vehicle (batched transform_box) ----
+        ctr = boxes[..., :3] @ R.transpose(0, 2, 1) + t[:, None, :]
+        hdg = boxes[..., 6] + np.arctan2(R[:, 1, 0], R[:, 0, 0])[:, None]
+        boxes[..., :3] = np.where(in_range[..., None], ctr, boxes[..., :3])
+        boxes[..., 6] = np.where(in_range, hdg, boxes[..., 6])
+
+        # ---- labels (scalar codecs per item: trivial cost) ----
+        center_label = bbox_gt[:, :3] - boxes[:, s, :3]
+        h_cls = np.zeros(B, np.int32)
+        h_res = np.zeros(B, np.float32)
+        s_cls = np.zeros(B, np.int32)
+        s_res = np.zeros((B, 3), np.float32)
+        for b in range(B):
+            h_cls[b], h_res[b] = _angle2class_np(bbox_gt[b, 6] - boxes[b, s, 6])
+            s_cls[b], s_res[b] = _size2class_np(bbox_gt[b, 3:6])
+
+        # ---- canonicalize into the center-frame box frame (batched) ----
+        init_box = boxes[:, s].copy()
+        hc = boxes[:, s, 6]
+        rot = np.zeros((B, 3, 3))
+        rot[:, 0, 0] = np.cos(-hc)
+        rot[:, 0, 1] = -np.sin(-hc)
+        rot[:, 1, 0] = np.sin(-hc)
+        rot[:, 1, 1] = np.cos(-hc)
+        rot[:, 2, 2] = 1.0
+        centered = pts_c.reshape(B, W * npts, 3) - boxes[:, s, None, :3]
+        # per-item code: point @ rotz(-h).T
+        pts_out = centered @ rot.transpose(0, 2, 1)
+        boxes[..., :3] = boxes[..., :3] - boxes[:, s, None, :3]
+        boxes[..., 6] = boxes[..., 6] - boxes[:, s, 6, None]
+
+        return {
+            "track_id": track_ids,
+            "token": tokens,
+            "pts": np.concatenate(
+                [
+                    pts_out.reshape(B, W, npts, 3),
+                    np.broadcast_to(
+                        (0.1 * (np.arange(W) - r))[None, :, None, None],
+                        (B, W, npts, 1),
+                    ),
+                ],
+                axis=-1,
+            ).reshape(B, W * npts, 4).astype(np.float32),
+            "boxes": boxes.astype(np.float32),
+            "init_box": init_box.astype(np.float32),
+            "bbox_gt": bbox_gt.astype(np.float32),
+            "mask_label": mask_label,
+            "center_label": center_label.astype(np.float32),
+            "heading_class_label": h_cls,
+            "heading_residuals_label": h_res,
+            "size_class_label": s_cls,
+            "size_residuals_label": s_res,
+        }
+
 
 _META_KEYS = ("track_id", "token")
 
@@ -280,7 +454,10 @@ def batch_iterator(
                 return
             if pad_to_full:
                 sel = np.concatenate([sel, np.full(batch_size - len(sel), sel[-1])])
-        batch = collate([dataset[int(i)] for i in sel])
+        if hasattr(dataset, "build_batch"):
+            batch = dataset.build_batch(sel)
+        else:
+            batch = collate([dataset[int(i)] for i in sel])
         batch["n_valid"] = min(batch_size, n - start)
         yield batch
 

@@ -1,0 +1,164 @@
+"""Production-config distributed coverage (VERDICT r2 item 6): the sparse
+VoxelNet backbone and the two-stage engine each run a train step under the
+8-device CPU mesh, and the sharded step computes EXACTLY the single-device
+result (XLA implicit psum over the data axis == full-batch math).
+
+The flagship offboard config (VoxelNet two-stage) previously had no
+distributed test at all — dryrun_multichip covered only the labeler and
+PointPillars steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from tdal.core.targets import AssignerConfig, assign_centernet_targets
+from tdal.core.voxel import VoxelConfig, pad_points
+from tdal.data.detection import collate_detection
+from tdal.models.detectors import VoxelNet
+from tdal.models.two_stage import BEVFeatureExtractor, RoIHead, RoiTargetConfig
+from tdal.parallel.mesh import make_mesh, shard_batch
+from tdal.pipeline.detector_engine import make_detector_steps
+from tdal.pipeline.two_stage_engine import TwoStageEngine, make_frozen_tx
+from tdal.runtime.train_state import TrainState, init_model
+
+VOX = VoxelConfig((-8, -8, -2, 8, 8, 4.0), (1.0, 1.0, 0.75), 5, 256)
+TASKS = [dict(num_class=1, class_names=["VEHICLE"])]
+BOX = np.array([[1.0, 2.0, 0.2, 1.8, 4.8, 1.5, 0, 0, 0.3]], np.float32)
+TEST_CFG = dict(
+    post_center_limit_range=[-10, -10, -10, 10, 10, 10],
+    nms=dict(nms_pre_max_size=64, nms_post_max_size=32, nms_iou_threshold=0.7),
+    score_threshold=0.1, pc_range=[-8, -8], out_size_factor=8,
+    voxel_size=[1.0, 1.0],
+)
+
+
+def _batch(n_items):
+    rng = np.random.default_rng(0)
+    asg = AssignerConfig(tasks=TASKS, out_size_factor=8, max_objs=10)
+    t = assign_centernet_targets(
+        BOX, np.array([1], np.int32), asg, VOX.grid_size,
+        VOX.point_cloud_range, VOX.voxel_size,
+    )
+    items = []
+    for i in range(n_items):
+        p = rng.uniform(-8, 8, (200, 5)).astype(np.float32)
+        items.append(dict(t, points=pad_points(p, 256), token=f"t{i}"))
+    batch = collate_detection(items)
+    batch.pop("token")
+    return {
+        k: ([jnp.asarray(v) for v in vv] if isinstance(vv, list) else jnp.asarray(vv))
+        for k, vv in batch.items()
+    }
+
+
+def _make_voxelnet():
+    # sparse_middle=True forces the PRODUCTION gather-based backbone
+    # (tdal/ops/sparse_conv.py) even on this tiny grid.
+    return VoxelNet(
+        voxel_cfg=VOX, tasks=tuple(TASKS), sparse_middle=True,
+        rpn_layer_nums=(1,), rpn_ds_strides=(1,), rpn_ds_filters=(8,),
+        rpn_us_strides=(1,), rpn_us_filters=(8,),
+    )
+
+
+def test_sparse_voxelnet_sharded_step_matches_single_device():
+    """Sharded gradients == single-device gradients (implicit psum exactness).
+
+    Gradients, not post-Adam params: for channels whose gradient is epsilon-
+    scale, adam's m/sqrt(v) first step is ~sign(g)*lr, which amplifies float
+    reassociation noise into lr-scale param differences — the grads themselves
+    agree to ~1e-6 relative (measured)."""
+    from tdal.models.center_head import center_head_loss
+
+    det = _make_voxelnet()
+    batch = _batch(8)
+    dbatch = dict(batch)
+    dbatch.pop("gt_boxes_and_cls")
+    key = jax.random.PRNGKey(0)
+    params, bs = init_model(det, {"params": key}, dbatch["points"])
+
+    def loss_fn(p, b):
+        preds, _ = det.apply(
+            {"params": p, "batch_stats": bs}, b["points"], train=True,
+            mutable=["batch_stats"],
+        )
+        total, logs = center_head_loss(preds, b, [1.0] * 8)
+        return total, logs
+
+    gfn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+    (l_single, _), g_single = gfn(params, dbatch)
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    (l_mesh, _), g_mesh = gfn(params, shard_batch(dbatch, mesh))
+
+    assert np.isfinite(float(l_mesh))
+    assert float(l_mesh) == pytest.approx(float(l_single), rel=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g_single)[0],
+        jax.tree_util.tree_flatten_with_path(g_mesh)[0],
+    ):
+        assert pa == pb
+        scale = float(np.max(np.abs(np.asarray(a))))
+        # 1e-6 absolute floor: a conv bias feeding a BatchNorm has a
+        # mathematically-zero gradient that survives only as ~1e-8 float noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4 * scale + 1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+    # the full optimizer step runs and stays finite under the mesh
+    state = TrainState.create(params, optax.adam(1e-3), bs)
+    train_step, _ = make_detector_steps(det, TEST_CFG, [1.0] * 8, donate=False)
+    _, logs_mesh = train_step(state, shard_batch(dbatch, mesh))
+    assert np.isfinite(float(logs_mesh["loss"]))
+
+
+def test_two_stage_sharded_step_matches_single_device():
+    det = _make_voxelnet()
+    roi_head = RoIHead(shared_fc=(32, 32), cls_fc=(32,), reg_fc=(32,), code_size=7)
+    bev = BEVFeatureExtractor(pc_start=(-8, -8), voxel_size=(8.0, 8.0), out_stride=1)
+    engine = TwoStageEngine(
+        det, roi_head, TEST_CFG, bev,
+        roi_cfg=RoiTargetConfig(roi_per_image=8),
+        code_weights_roi=(1.0,) * 7,
+        freeze_first=True,
+    )
+    batch = _batch(8)
+    key = jax.random.PRNGKey(0)
+    params, bs = engine.init(key, batch["points"], batch["gt_boxes_and_cls"])
+    # SGD(1.0): the param delta IS the raw gradient, so the sharded-vs-single
+    # comparison checks gradient equality. (Adam normalizes by sqrt(v), which
+    # makes its update invariant to uniform grad scaling — a wrong-psum bug
+    # would be invisible through an adam step.)
+    state = TrainState.create(params, make_frozen_tx(optax.sgd(1.0)), bs)
+    train_step, predict_step = engine.make_steps(donate=False)
+
+    s_single, logs_single = train_step(state, batch, key)
+
+    mesh = make_mesh()
+    sharded = shard_batch(batch, mesh)
+    s_mesh, logs_mesh = train_step(state, sharded, key)
+
+    loss = float(logs_mesh["loss"])
+    assert np.isfinite(loss)
+    assert loss == pytest.approx(float(logs_single["loss"]), rel=1e-5)
+    flat0 = dict(jax.tree_util.tree_flatten_with_path(params["roi"])[0])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(s_single.params["roi"])[0],
+        jax.tree_util.tree_flatten_with_path(s_mesh.params["roi"])[0],
+    ):
+        assert pa == pb
+        ga = np.asarray(a) - np.asarray(flat0[pa])  # -grad (single)
+        gb = np.asarray(b) - np.asarray(flat0[pa])  # -grad (sharded)
+        scale = float(np.max(np.abs(ga)))
+        np.testing.assert_allclose(
+            ga, gb, rtol=1e-4, atol=1e-4 * scale + 1e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+    # and the sharded predict path stays usable
+    preds = predict_step(s_mesh, shard_batch({"points": batch["points"]}, mesh)["points"])
+    assert preds["box3d_lidar"].shape[0] == 8
