@@ -52,6 +52,7 @@ class SyntheticScene:
         points_per_object: int = 256,
         n_background: int = 2048,
         seed: int = 0,
+        object_dims=(4.8, 1.8, 1.5),
     ):
         self.scene_id = scene_id
         self.scene_name = f"synthetic_{scene_id:03d}"
@@ -66,14 +67,14 @@ class SyntheticScene:
         rng = self.rng
         for k in range(n_static):
             center = np.array([rng.uniform(5, 30), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)])
-            dims = np.array([4.8, 1.8, 1.5]) * rng.uniform(0.9, 1.1, 3)
+            dims = np.array(object_dims) * rng.uniform(0.9, 1.1, 3)
             self.objects.append(
                 dict(name=f"st{scene_id}_{k}", label=1, center=center, dims=dims,
                      heading=rng.uniform(-np.pi, np.pi), vel=np.zeros(2), static=True)
             )
         for k in range(n_dynamic):
             center = np.array([rng.uniform(5, 30), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)])
-            dims = np.array([4.8, 1.8, 1.5]) * rng.uniform(0.9, 1.1, 3)
+            dims = np.array(object_dims) * rng.uniform(0.9, 1.1, 3)
             heading = rng.uniform(-np.pi, np.pi)
             speed = rng.uniform(3.0, 8.0)
             vel = speed * np.array([np.cos(heading), np.sin(heading)])

@@ -196,6 +196,7 @@ def create_pd_detection(
     ratio: float = 0.25,
     split: int = 16,
     logger=None,
+    match_iou: float = 0.75,
 ):
     """Write det_annos.pkl (+ trackData pickles + metrics proto bin when available).
 
@@ -276,7 +277,7 @@ def create_pd_detection(
             _emit_frame_boxes(
                 box3d, scores, labels, tracking_ids, token, obj, pose, crops,
                 iou, matching, td, objects if have_proto else None,
-                None if have_proto else proto_rows, tracking,
+                None if have_proto else proto_rows, tracking, match_iou,
             )
             trackData[token] = td
 
@@ -384,10 +385,13 @@ def create_pd_detection(
 
 
 def _emit_frame_boxes(box3d, scores, labels, tracking_ids, token, obj, pose,
-                      crops, iou, matching, td, objects, proto_rows, tracking):
+                      crops, iou, matching, td, objects, proto_rows, tracking,
+                      match_iou: float = 0.75):
     """Per-box proto emission + GT matching + trackData rows (host loop).
 
-    Parity: waymo_common.py:106-205 (proto fields, IoU>0.75 track-cached match)."""
+    Parity: waymo_common.py:106-205 (proto fields, IoU>0.75 track-cached match;
+    match_iou keeps 0.75 as the production default — test-scale chains with a
+    briefly-trained detector lower it to get matched tracks)."""
     have_proto = objects is not None
     if have_proto:
         from waymo_open_dataset import label_pb2  # type: ignore
@@ -429,7 +433,7 @@ def _emit_frame_boxes(box3d, scores, labels, tracking_ids, token, obj, pose,
             match = matching[obj_id]
         elif iou.shape[1]:
             best = int(np.argmax(iou[i]))
-            if iou[i, best] > 0.75:
+            if iou[i, best] > match_iou:
                 match = obj["objects"][best]["name"]
                 matching[obj_id] = match
             else:

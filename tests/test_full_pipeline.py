@@ -116,3 +116,146 @@ def test_full_pipeline_chain(tmp_path):
     assert len(final) == 10
     # the final det_annos rows keep the detector schema
     assert {"name", "score", "boxes_lidar", "frame_id", "metadata"} <= set(final[0])
+
+
+def test_full_pipeline_real_detector(tmp_path):
+    """VERDICT r2 item 8: the true chain with a REAL detector front-end — train
+    the tiny PointPillars, then drive tracking -> extraction -> motion split ->
+    static labeler train/eval off its ACTUAL predictions, asserting the trained
+    labeler's IoU beats the init-box baseline.
+
+    Test-scale knobs (semantics unchanged): bus-sized objects (center error
+    from the 0.8m pillar grid costs little IoU on a 10m box), no global aug
+    noise, tracker score_thresh and the extraction GT-match threshold lowered
+    to suit a briefly-trained detector (production default stays 0.75)."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tdal.data.detection import DetectionDataset
+    from tdal.data.track_datasets import StaticTrackDataset, preprocess_tracks
+    from tdal.models.builder import (
+        build_assigner,
+        build_detector,
+        build_test_cfg,
+        build_voxel_config,
+    )
+    from tdal.pipeline.detector_run import run_inference, train_detector
+    from tdal.pipeline.factories import make_labeler
+    from tdal.pipeline.labeler_run import (
+        calculate_init_iou,
+        postprocess_static,
+        predict_final_boxes,
+        train_labeler,
+    )
+    from tdal.pipeline.motion_state import (
+        build_track_gt,
+        fit_motion_classifier,
+        split_by_prediction,
+        track_features,
+    )
+    from tdal.pipeline.track_extraction import (
+        convert_detection_to_global_box,
+        create_pd_detection,
+        run_tracking,
+    )
+    from tdal.runtime.config import Config
+    from tdal.runtime.train_state import TrainState, init_model
+
+    logger = logging.getLogger("real_chain")
+
+    # ---- stage 0: one fabricated segment, big static objects ----
+    # 10 frames: track_features drops tracks shorter than 7 frames
+    # (motionState.py parity), so the segment must allow full-length tracks.
+    infos, scenes = make_synthetic_dataset(
+        tmp_path, n_scenes=1, n_frames=10, seed=7,
+        n_static=4, n_dynamic=1, points_per_object=384, n_background=512,
+        object_dims=(10.0, 2.6, 3.2),
+    )
+    info_map = reorganize_info(infos)
+    annos = AnnoStore(info_map)
+
+    # ---- stage 1: train the tiny detector and run REAL inference ----
+    cfg = Config.fromfile(str(Path(__file__).resolve().parent.parent / "configs/synthetic/pp_tiny.py"))
+    voxel_cfg = build_voxel_config(cfg.voxel_generator, train=True)
+    det = build_detector(cfg.model, voxel_cfg)
+    assigner = build_assigner(cfg.train_cfg["assigner"], det)
+    cfg.test_cfg["score_threshold"] = 0.02  # briefly-trained model: low confidences
+    test_cfg = build_test_cfg(cfg.test_cfg, det, voxel_cfg)
+    train_ds = DetectionDataset(
+        infos, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+        assigner=assigner, voxel_cfg=voxel_cfg, mode="train", max_points=4096,
+        global_rot_noise=(0.0, 0.0), global_scale_noise=(1.0, 1.0),
+    )
+    key = jax.random.PRNGKey(0)
+    ex = train_ds[0]
+    params, bs = init_model(det, {"params": key}, jnp.asarray(np.stack([ex["points"]] * 2)))
+    state = TrainState.create(
+        params, optax.chain(optax.clip_by_global_norm(35.0), optax.adam(3e-3)), bs
+    )
+    state = train_detector(
+        det, state, train_ds, test_cfg, [1.0] * 8, 16, 2, logger, tmp_path, seed=0
+    )
+    val_ds = DetectionDataset(
+        infos, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+        assigner=assigner, voxel_cfg=voxel_cfg, mode="val", max_points=4096,
+        shuffle_points=False,
+    )
+    detections = run_inference(det, state, val_ds, test_cfg, [1.0] * 8, 2, logger)
+    assert len(detections) == 10
+
+    # ---- stage 2+3: tracking + extraction off the real predictions ----
+    global_preds, det_results = convert_detection_to_global_box(
+        detections, info_map, annos
+    )
+    scores_all = np.concatenate([np.asarray(d["scores"]) for d in detections.values()])
+    print(f"det scores: n={len(scores_all)} max={scores_all.max():.3f} p90={np.percentile(scores_all, 90):.3f}")
+    predictions, n_tracks = run_tracking(
+        global_preds, det_results, score_thresh=float(np.percentile(scores_all, 90))
+    )
+    assert n_tracks > 0, "real detector produced no tracks"
+    out = tmp_path / "val"
+    create_pd_detection(
+        predictions, info_map, out, tracking=True, logger=logger, match_iou=0.25
+    )
+    with open(out / "trackData.pkl", "rb") as f:
+        frame_track = pickle.load(f)
+    spec = importlib.util.spec_from_file_location("tool_trackData", TOOLS / "trackData.py")
+    td_tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(td_tool)
+    track = td_tool.reorganize(frame_track)
+    assert track, "no tracks extracted"
+
+    # ---- stage 4: trackGT + motion split ----
+    track_gt = build_track_gt(list(info_map.values()))
+    X, y, new_track = track_features(track, track_gt)
+    clf = fit_motion_classifier(X, y)
+    preds = clf.predict(X) if len(X) else []
+    track_static, _track_dynamic = split_by_prediction(new_track, preds)
+
+    # ---- stage 5: static labeler train + eval on the REAL tracks ----
+    track_static, _ = preprocess_tracks(track_static, annos, ratio=0.0, seed=0)
+    assert track_static, "no GT-matched static tracks from the real detector"
+    ds = StaticTrackDataset(track_static, annos, npoints=512, seed=0)
+    model, loss_fn, inputs_fn, kind = make_labeler("one_box_est", 128)
+    b0 = np.stack([ds[i]["pts"] for i in range(min(2, len(ds)))])
+    ib0 = np.stack([ds[i]["init_box"] for i in range(min(2, len(ds)))])
+    lp, lbs = init_model(
+        model, {"params": key, "gather": key, "dropout": key},
+        jnp.asarray(b0), jnp.asarray(ib0),
+    )
+    lstate = TrainState.create(lp, optax.adam(3e-3), lbs)
+    lstate, best = train_labeler(
+        model, loss_fn, inputs_fn, lstate, ds, ds, n_epoch=120,
+        batch_size=max(2, min(4, len(ds))), rng=key, logger=logger,
+    )
+    final = predict_final_boxes(model, lstate, ds, inputs_fn, kind, batch_size=4)
+    m2_eval, m3_eval, acc_eval = postprocess_static(track_static, annos, final, logger)
+    m2_init, m3_init, acc_init = calculate_init_iou(track_static, annos, logger)
+    print(f"labeler IoU3d {m3_eval:.3f} vs init baseline {m3_init:.3f}")
+    assert m3_eval >= m3_init, (
+        f"trained static labeler ({m3_eval:.3f}) did not beat the init-box "
+        f"baseline ({m3_init:.3f})"
+    )
