@@ -11,6 +11,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MaskedBatchNorm(nn.Module):
@@ -92,13 +93,21 @@ class PallasConv3x3(nn.Module):
 
 
 class FusedConvBN(nn.Module):
-    """3x3 stride-1 conv + BatchNorm + optional ReLU with EVAL-time folding.
+    """3x3 stride-1 conv + BatchNorm + optional ReLU with EVAL-time folding
+    and a chainable TRAIN path (cross-layer BN fusion).
 
     Owns its BatchNorm variables so that at eval the running stats (and the
-    conv bias) fold into the fused Pallas conv's output affine — conv + BN +
+    conv bias) fold into the fused conv's output affine — conv + BN +
     ReLU in a single input/output pass (the chip is HBM-bandwidth-bound).
-    Train mode computes batch stats in fp32 and normalizes in the module
-    dtype. Param/batch_stats names: kernel, conv_bias?, scale, bias, mean, var."""
+
+    TRAIN: the conv runs through conv3x3_act_stats, which returns the RAW
+    output plus its per-channel moments from the same VMEM pass (no separate
+    stats read). In a chain (``pre``/``emit_raw``), this layer's BN normalize
+    + ReLU is handed to the NEXT layer as ``pre=(scale, shift)`` and applied
+    to its input tiles inside VMEM — the normalized activation never touches
+    HBM. The math is identical to materializing (same bf16 rounding point);
+    only var uses E[y^2]-mu^2 instead of two-pass.
+    Param/batch_stats names: kernel, conv_bias?, scale, bias, mean, var."""
 
     features: int
     use_bias: bool = False  # conv bias (reference SepHead convs carry one)
@@ -108,8 +117,8 @@ class FusedConvBN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        from tdal.ops.pallas_conv import conv3x3_bias
+    def __call__(self, x, train: bool = False, pre=None, emit_raw: bool = False):
+        from tdal.ops.pallas_conv import conv3x3_act_stats
 
         c = x.shape[-1]
         f = self.features
@@ -139,19 +148,45 @@ class FusedConvBN(nn.Module):
 
             inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * gamma
             shift = beta + (cbias - ra_mean.value) * inv
-            y = _xla_conv(xc, wc) * inv.astype(self.dtype) + shift.astype(self.dtype)
+            xin = x
+            if pre is not None:  # chained eval: apply predecessor's BN here
+                xin = nn.relu(
+                    xc * pre[0].astype(self.dtype) + pre[1].astype(self.dtype)
+                )
+            y = (
+                _xla_conv(xin.astype(self.dtype), wc) * inv.astype(self.dtype)
+                + shift.astype(self.dtype)
+            )
+            if emit_raw:
+                # stay chainable: hand an identity post-affine to the caller
+                ones = jnp.ones((f,), jnp.float32)
+                zeros = jnp.zeros((f,), jnp.float32)
+                return (y if self.relu else y), (ones, zeros)
             return nn.relu(y) if self.relu else y
-        y = conv3x3_bias(xc, wc, cbias)
-        yf = y.astype(jnp.float32)
-        mean = jnp.mean(yf, axis=(0, 1, 2))
-        var = jnp.var(yf, axis=(0, 1, 2))
+        if emit_raw or pre is not None:
+            # chained layers hand their ReLU to the next layer's input side
+            assert self.relu, "chained FusedConvBN requires relu=True"
+        if pre is None:
+            in_scale = jnp.ones((c,), jnp.float32)
+            in_shift = jnp.zeros((c,), jnp.float32)
+        else:
+            in_scale, in_shift = pre
+        y, stats = conv3x3_act_stats(
+            xc, wc, cbias, in_scale, in_shift, pre is not None
+        )
+        n = float(np.prod(y.shape[:-1]))
+        mean = stats[0] / n
+        var = jnp.maximum(stats[1] / n - mean * mean, 0.0)
         if not self.is_initializing():
             ra_mean.value = (
                 self.momentum * ra_mean.value + (1 - self.momentum) * mean
             )
             ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        inv = (jax.lax.rsqrt(var + self.epsilon) * gamma).astype(self.dtype)
-        y = (y - mean.astype(self.dtype)) * inv + beta.astype(self.dtype)
+        inv = jax.lax.rsqrt(var + self.epsilon) * gamma
+        shift = beta - mean * inv
+        if emit_raw:
+            return y, (inv, shift)
+        y = y.astype(self.dtype) * inv.astype(self.dtype) + shift.astype(self.dtype)
         return nn.relu(y) if self.relu else y
 
 
@@ -170,12 +205,13 @@ class ConvBNReLU(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, pre=None, emit_raw: bool = False):
         if self.kernel == 3 and self.stride == 1 and not self.use_bias:
             return FusedConvBN(
                 self.features, momentum=self.momentum, epsilon=self.epsilon,
                 dtype=self.dtype,
-            )(x, train)
+            )(x, train, pre=pre, emit_raw=emit_raw)
+        assert pre is None and not emit_raw, "chaining needs the 3x3/s1 fused path"
 
         x = nn.Conv(
             self.features,

@@ -41,8 +41,20 @@ class RPN(nn.Module):
                 stride=self.ds_layer_strides[i],
                 dtype=self.dtype,
             )(x, train)
+            # Chained trunk: each layer emits its RAW conv output + BN affine;
+            # the normalize+ReLU is applied on the NEXT conv's input side in
+            # VMEM (tdal.ops.pallas_conv.conv3x3_act_stats), so normalized
+            # activations never round-trip HBM. One materialize per stage.
+            pre = None
             for _ in range(n_layers):
-                x = ConvBNReLU(self.ds_num_filters[i], dtype=self.dtype)(x, train)
+                x, pre = ConvBNReLU(self.ds_num_filters[i], dtype=self.dtype)(
+                    x, train, pre=pre, emit_raw=True
+                )
+            if pre is not None:
+                x = nn.relu(
+                    x.astype(self.dtype) * pre[0].astype(self.dtype)
+                    + pre[1].astype(self.dtype)
+                )
             j = i - up_start
             if j >= 0:
                 stride = self.us_layer_strides[j]

@@ -85,8 +85,115 @@ def _step_ids(step, nh, nw):
 
 
 # ---------------------------------------------------------------------------
-# forward kernel (double-buffered input DMA)
+# forward kernel with INPUT-side affine(+ReLU) and fused output stats
+# (the cross-layer BN restructure: the producing conv's BatchNorm normalize
+# rides the consuming conv's input side inside VMEM, and the raw-output
+# moments come out of the same pass — no separate stats/normalize HBM passes)
 # ---------------------------------------------------------------------------
+
+
+def _fwd_stats_kernel(
+    xr, wr, isr, itr, br, yr, statr, xt, sem, *, th, tw, co, nh, nw, in_act, h, w
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    step = (b * nh + i) * nw + j
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        _dma(xr, xt, sem, slot, b, i, j, th, tw).start()
+        statr[:] = jnp.zeros_like(statr)
+
+    nstep = step + 1
+    nb, ni, nj = _step_ids(nstep, nh, nw)
+
+    @pl.when(nstep < pl.num_programs(0) * nh * nw)
+    def _():
+        _dma(xr, xt, sem, (slot + 1) % 2, nb, ni, nj, th, tw).start()
+
+    _dma(xr, xt, sem, slot, b, i, j, th, tw).wait()
+    acc = jnp.zeros((th, tw, co), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tile = xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
+            if in_act:
+                # previous layer's BN normalize + ReLU, applied in VMEM.
+                # Cast back to the input dtype so the math matches the
+                # materialized bf16 activation it replaces bit-for-bit.
+                tile = (
+                    tile.astype(jnp.float32) * isr[:] + itr[:]
+                )
+                tile = jnp.maximum(tile, 0.0).astype(xt.dtype)
+            acc = acc + jax.lax.dot_general(
+                tile, wr[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    acc = acc + br[:].astype(jnp.float32)
+    yr[:] = acc.reshape(1, th, tw, co).astype(yr.dtype)
+    # raw-output moments over the VALID region only (padding rows carry bias)
+    vh = jnp.minimum(h - i * th, th)
+    vw = jnp.minimum(w - j * tw, tw)
+    row = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, tw, 1), 1)
+    m = ((row < vh) & (col < vw)).astype(jnp.float32)
+    am = acc * m
+    statr[0] += am.sum(axis=(0, 1))
+    statr[1] += (am * acc).sum(axis=(0, 1))
+
+
+def _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act):
+    b, h, wd, c = x.shape
+    co = w.shape[-1]
+    cp = _round_up(c, 128)
+    th, tw = _tiles(cp, co)
+    nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
+    hp, wp = nh * th, nw * tw
+    xp = jnp.pad(
+        x, ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO), (0, cp - c))
+    )
+    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c), (0, 0))).astype(x.dtype)
+    # input-side affine lives in the PADDED channel space of x
+    isc = jnp.pad(in_scale.astype(jnp.float32), (0, cp - c), constant_values=1.0)
+    ish = jnp.pad(in_shift.astype(jnp.float32), (0, cp - c))
+    kern = functools.partial(
+        _fwd_stats_kernel, th=th, tw=tw, co=co, nh=nh, nw=nw, in_act=in_act,
+        h=h, w=wd,
+    )
+    yp, stats = pl.pallas_call(
+        kern,
+        grid=(b, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, tw, co), lambda bi, i, j: (bi, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, co), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wp, co), x.dtype),
+            jax.ShapeDtypeStruct((2, co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 9 * cp * co,
+            bytes_accessed=xp.size * 2 + b * hp * wp * co * 2,
+            transcendentals=0,
+        ),
+    )(xp, wpad, isc, ish, bias.astype(jnp.float32))
+    return yp[:, :h, :wd, :], stats
 
 
 def _fwd_kernel(xr, wr, sr, br, yr, xt, sem, *, th, tw, co, nh, nw, relu):
@@ -170,6 +277,89 @@ def _pallas_fwd(x, w, shift, scale=None, relu=False):
 # ---------------------------------------------------------------------------
 # wgrad kernel: dw[ky,kx,ci,co] = sum_{b,h,w} x[b,h+ky-1,w+kx-1,ci] dy[b,h,w,co]
 # ---------------------------------------------------------------------------
+
+
+def _wgrad_act_kernel(xr, dyr, isr, itr, dwr, xt, sem, *, th, tw, co, nh, nw, in_act):
+    """wgrad with the producer-BN affine+ReLU applied to x tiles in VMEM
+    (the input the conv actually saw on the chained train path)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    step = (b * nh + i) * nw + j
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        _dma(xr, xt, sem, slot, b, i, j, th, tw).start()
+        dwr[:] = jnp.zeros_like(dwr)
+
+    nstep = step + 1
+    nb, ni, nj = _step_ids(nstep, nh, nw)
+
+    @pl.when(nstep < pl.num_programs(0) * nh * nw)
+    def _():
+        _dma(xr, xt, sem, (slot + 1) % 2, nb, ni, nj, th, tw).start()
+
+    _dma(xr, xt, sem, slot, b, i, j, th, tw).wait()
+    dyt = dyr[:].reshape(th * tw, co)
+    for dy in range(3):
+        for dx in range(3):
+            tile = xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
+            if in_act:
+                tile = (
+                    jnp.maximum(tile.astype(jnp.float32) * isr[:] + itr[:], 0.0)
+                ).astype(xt.dtype)
+            dwr[dy, dx] += jax.lax.dot_general(
+                tile.reshape(th * tw, -1), dyt,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act):
+    b, h, wd, c = x.shape
+    co = dy.shape[-1]
+    cp = _round_up(c, 128)
+    th, tw = _tiles(cp, co)
+    nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
+    hp, wp = nh * th, nw * tw
+    xp = jnp.pad(
+        x, ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO), (0, cp - c))
+    )
+    dyp = jnp.pad(dy, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
+    isc = jnp.pad(in_scale.astype(jnp.float32), (0, cp - c), constant_values=1.0)
+    ish = jnp.pad(in_shift.astype(jnp.float32), (0, cp - c))
+    kern = functools.partial(
+        _wgrad_act_kernel, th=th, tw=tw, co=co, nh=nh, nw=nw, in_act=in_act
+    )
+    dw = pl.pallas_call(
+        kern,
+        grid=(b, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, th, tw, co), lambda bi, i, j: (bi, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (3, 3, cp, co), lambda bi, i, j: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((3, 3, cp, co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 9 * cp * co,
+            bytes_accessed=xp.size * 2 + dyp.size * 2,
+            transcendentals=0,
+        ),
+    )(xp, dyp, isc, ish)
+    return dw[:, :, :c, :]
 
 
 def _wgrad_kernel(xr, dyr, dwr, xt, sem, *, th, tw, co, nh, nw):
@@ -300,3 +490,83 @@ def conv3x3_affine(x, w, scale, shift, relu: bool = True):
         return _pallas_fwd(x, w, shift, scale=scale, relu=relu)
     y = _xla_conv(x, w) * scale.astype(x.dtype) + shift.astype(x.dtype)
     return jnp.maximum(y, 0) if relu else y
+
+
+# ---------------------------------------------------------------------------
+# cross-layer fused train op: input-side BN normalize + conv + output stats
+# ---------------------------------------------------------------------------
+
+
+def _in_affine(x, s, t):
+    return jnp.maximum(
+        x.astype(jnp.float32) * s.astype(jnp.float32) + t.astype(jnp.float32), 0.0
+    ).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act):
+    """3x3 s1 SAME conv returning ``(y, stats)`` with stats = [sum y, sum y^2]
+    per channel, computed in the SAME VMEM pass as the conv.
+
+    With ``in_act=True`` the previous layer's BatchNorm normalize + ReLU
+    (per-channel ``in_scale``/``in_shift``) is applied to the input tiles in
+    VMEM — the normalized activation never exists in HBM. This is the
+    cross-layer BN restructure (ROADMAP item 3): the producing conv's BN
+    stats come out of its own output pass, and its normalize rides the
+    consuming conv's input side. The chip is HBM-bandwidth-bound, so cutting
+    the separate stats-read and normalize read+write passes is the win."""
+    if _use_pallas(x, w.shape[-1]):
+        return _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act)
+    xin = _in_affine(x, in_scale, in_shift) if in_act else x
+    y = _xla_conv(xin, w) + bias.astype(x.dtype)
+    yf = y.astype(jnp.float32)
+    stats = jnp.stack([yf.sum(axis=(0, 1, 2)), (yf * yf).sum(axis=(0, 1, 2))])
+    return y, stats
+
+
+def _cas_fwd(x, w, bias, in_scale, in_shift, in_act):
+    y, stats = conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act)
+    return (y, stats), (x, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
+
+
+def _cas_bwd(in_act, res, ct):
+    x, w, s, t, y, bmark = res
+    gy, gstats = ct
+    gsum, gss = gstats[0], gstats[1]
+    # cotangent into the RAW conv output: direct + through the two moments
+    gy_tot = (
+        gy.astype(jnp.float32) + gsum + 2.0 * y.astype(jnp.float32) * gss
+    ).astype(y.dtype)
+    db = gy_tot.astype(jnp.float32).sum(axis=(0, 1, 2))
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
+    if _use_pallas(gy_tot, wt.shape[-1]):
+        dxhat = _pallas_fwd(gy_tot, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
+        dw = _pallas_wgrad_act(x, gy_tot, s, t, in_act)
+    else:
+        xin = _in_affine(x, s, t) if in_act else x
+        dxhat = _xla_conv(gy_tot, wt.astype(gy_tot.dtype))
+        dw = jax.lax.conv_general_dilated(
+            xin.transpose(3, 1, 2, 0), gy_tot.transpose(1, 2, 0, 3), (1, 1),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ).transpose(1, 2, 0, 3)
+    if in_act:
+        pre = x.astype(jnp.float32) * s.astype(jnp.float32) + t.astype(jnp.float32)
+        dxh = dxhat.astype(jnp.float32) * (pre > 0)
+        dx = (dxh * s.astype(jnp.float32)).astype(x.dtype)
+        ds = (dxh * x.astype(jnp.float32)).sum(axis=(0, 1, 2))
+        dt = dxh.sum(axis=(0, 1, 2))
+    else:
+        dx = dxhat.astype(x.dtype)
+        ds = jnp.zeros_like(s, jnp.float32)
+        dt = jnp.zeros_like(t, jnp.float32)
+    return (
+        dx,
+        dw.astype(w.dtype),
+        db.astype(bmark.dtype),
+        ds.astype(s.dtype),
+        dt.astype(t.dtype),
+    )
+
+
+conv3x3_act_stats.defvjp(_cas_fwd, _cas_bwd)

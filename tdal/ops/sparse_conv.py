@@ -6,11 +6,14 @@ is infeasible at that resolution. Representation here: per sample, fixed-size bu
 
     coords (V, 3) int32 zyx, feats (V, C), valid (V,) bool
 
-sorted by linearized key. Neighbor lookup is O(1) through a dense grid->slot table
-(one scatter per voxel set, one gather per tap — measured ~10x faster than the
-searchsorted binary search whose 16 dependent gather steps dominated the backbone);
-the 27 taps contract as a single (V, 27*Cin) x (27*Cin, Cout) MXU matmul. Table
-memory is grid_cells * 4B (371MB at the full Waymo 41x1504x1504 grid — fits HBM).
+sorted by linearized key. Neighbor lookup is O(1) through an occupancy-bitmap
+rank/select table (build_bitmap_table): 1 bit per grid cell + per-word slot
+ranks, packed as 16B rows so ONE row fetch serves all 3 x-contiguous taps of a
+(dz, dy) neighbor row — 9 table fetches per voxel instead of 27, and 46MB of
+table at the full Waymo 41x1504x1504 grid instead of the 371MB dense int32
+grid->slot table it replaced (which itself was ~10x faster than searchsorted's
+16 dependent gather steps). The 27 gathered taps contract as a single
+(V, 27*Cin) x (27*Cin, Cout) MXU matmul.
 
 - ``subm_conv3d``: submanifold conv (output sites == input sites; spconv SubMConv3d).
 - ``sparse_conv3d_down2``: kernel-3 stride-2 pad-1 sparse conv (spconv SparseConv3d):
@@ -59,71 +62,180 @@ _OFFSETS_3 = np.stack(
 ).reshape(27, 3)
 
 
-def build_key_table(keys, valid, grid):
-    """Dense grid-cell -> voxel-slot lookup table (int32, -1 = empty).
+# The 9 (dz, dy) row combos in _OFFSETS_3 order (dz slowest, dx fastest).
+_OFFSETS_ZY = np.stack(
+    np.meshgrid(np.arange(-1, 2), np.arange(-1, 2), indexing="ij"), axis=-1
+).reshape(9, 2)
 
-    One 45k-row scatter per voxel set replaces a 16-step binary search per tap."""
+
+def _popcount32u(w):
+    """Vectorized 32-bit popcount (SWAR) over uint32."""
+    w = w - ((w >> 1) & jnp.uint32(0x55555555))
+    w = (w & jnp.uint32(0x33333333)) + ((w >> 2) & jnp.uint32(0x33333333))
+    w = (w + (w >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((w * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def build_bitmap_table(keys, valid, grid):
+    """Occupancy-bitmap rank/select table: (n_words, 4) int32 rows
+    ``[word[i], word[i+1], rank[i], rank[i+1]]``.
+
+    Replaces the dense grid->slot int32 table (4B/cell, 371MB at the full
+    Waymo grid, one >=512B tile fetch per TAP) with a bitmap (1 bit/cell) +
+    per-word slot ranks: ONE 16B-row fetch serves all 3 x-taps of a (dz, dy)
+    row — 3x fewer neighbor-pass fetches and 8x less table memory (46MB).
+    Slot = rank[word] + popcount(word bits below the key bit), which is
+    exactly the sort_voxels slot because keys are sorted unique."""
     n_cells = int(grid[0]) * int(grid[1]) * int(grid[2])
-    v = keys.shape[0]
-    slot_keys = jnp.where(valid, keys, n_cells)
-    table = jnp.full((n_cells + 1,), -1, jnp.int32)
-    table = table.at[slot_keys].set(
-        jnp.arange(v, dtype=jnp.int32), mode="drop"
+    n_words = (n_cells + 31) // 32 + 2  # slack: row i reads words i and i+1
+    word_id = jnp.where(valid, keys >> 5, n_words - 1)
+    bit = jnp.where(valid, keys & 31, 0).astype(jnp.uint32)
+    ones = jnp.where(valid, jnp.uint32(1) << bit, jnp.uint32(0))
+    words = jnp.zeros((n_words,), jnp.uint32).at[word_id].add(ones, mode="drop")
+    counts = _popcount32u(words)
+    ranks = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)[:-1]]
     )
-    return table[:n_cells]
+    w_i = jax.lax.bitcast_convert_type(words, jnp.int32)
+    return jnp.stack(
+        [w_i, jnp.roll(w_i, -1), ranks, jnp.roll(ranks, -1)], axis=1
+    )  # (n_words, 4)
 
 
-def _lookup(table, tap_coords, grid):
-    """tap_coords (K, S, 3) -> (idx (K*S,), found (K*S,)) via the dense table."""
-    k, n_sites = tap_coords.shape[0], tap_coords.shape[1]
-    flat = tap_coords.reshape(k * n_sites, 3)
-    ok = _in_grid(flat, grid)
-    nkey = jnp.where(ok, _linearize(flat, grid), 0)
-    idx = table[nkey]
-    found = (idx >= 0) & ok
-    return jnp.maximum(idx, 0), found
+def _bitmap_lookup_rows(btable, base_keys, row_ok, x_ok, n_cells):
+    """Neighbor slots for 3 x-contiguous keys per row via ONE table-row gather.
+
+    base_keys (..., ) key of the dx=0 tap; returns (idx (..., 3), found)."""
+    # word anchored at key-1 so keys [k-1, k, k+1] live in words [a, a+1]
+    anchor = jnp.clip((base_keys - 1) >> 5, 0, btable.shape[0] - 2)
+    rows = btable[anchor]  # (..., 4) ONE 16B row-gather per (dz, dy) combo
+    w0 = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+    w1 = jax.lax.bitcast_convert_type(rows[..., 1], jnp.uint32)
+    r0, r1 = rows[..., 2], rows[..., 3]
+    kk = base_keys[..., None] + jnp.arange(-1, 2)  # (..., 3)
+    # bit position relative to word `anchor`; clamp handles the masked
+    # kk=-1 lane at base 0 (anchor clips to 0 there, giving d=-1)
+    d = jnp.clip(kk - (anchor[..., None] << 5), 0, 33)
+    in_hi = d >= 32
+    dw = jnp.where(in_hi, d - 32, d).astype(jnp.uint32)
+    wsel = jnp.where(in_hi, w1[..., None], w0[..., None])
+    rsel = jnp.where(in_hi, r1[..., None], r0[..., None])
+    occ = ((wsel >> dw) & 1) == 1
+    below = wsel & ((jnp.uint32(1) << dw) - jnp.uint32(1))
+    slot = rsel + _popcount32u(below)
+    ok = occ & row_ok[..., None] & x_ok & (kk >= 0) & (kk < n_cells)
+    return jnp.where(ok, slot, 0), ok
 
 
-def _gather_taps(coords, feats, valid, keys, grid, tap_coords, table=None):
-    """For each voxel and each tap offset, gather the neighbor's features (zeros when
-    absent). tap_coords (K, V, 3) absolute coords per tap. Returns (V, K, C)."""
-    k, n_sites = tap_coords.shape[0], tap_coords.shape[1]
-    if table is None:
-        table = build_key_table(keys, jnp.ones(keys.shape[0], bool), grid)
-    idx, found = _lookup(table, tap_coords, grid)
-    gathered = feats[idx] * found[:, None]
-    return gathered.reshape(k, n_sites, -1).transpose(1, 0, 2)  # (sites, K, C)
+def _neighbor_rows(center_rows, row_valid, grid, btable):
+    """(idx (V, 27), found (V, 27)) for taps laid out as 9 (dz, dy) rows x 3
+    x-offsets (-1, 0, +1), matching _OFFSETS_3 order."""
+    nz, ny, nx = grid
+    n_cells = nz * ny * nx
+    v = center_rows.shape[0]
+    z, y, x = center_rows[..., 0], center_rows[..., 1], center_rows[..., 2]
+    row_ok = row_valid & (z >= 0) & (z < nz) & (y >= 0) & (y < ny) & (x >= 0) & (x < nx)
+    base = jnp.clip(jnp.where(row_ok, z * (ny * nx) + y * nx + x, 0), 0, n_cells - 1)
+    x_ok = jnp.stack([x > 0, jnp.ones_like(row_ok), x < nx - 1], axis=-1)
+    idx, found = _bitmap_lookup_rows(btable, base, row_ok, x_ok, n_cells)
+    return idx.reshape(v, 27), found.reshape(v, 27)
 
 
 def subm_neighbors(coords, valid, keys, grid, table=None):
     """Precompute the 3x3x3 neighbor table for a voxel set: (idx (V, 27),
     found (V, 27)). Every submanifold conv at the same resolution reuses this."""
-    taps = coords[None, :, :] + jnp.asarray(_OFFSETS_3, coords.dtype)[:, None, :]
-    k, n_sites = taps.shape[0], taps.shape[1]
     if table is None:
-        table = build_key_table(keys, valid, grid)
-    idx, found = _lookup(table, taps, grid)
-    return (
-        idx.reshape(k, n_sites).T,  # (V, 27)
-        found.reshape(k, n_sites).T,
+        table = build_bitmap_table(keys, valid, grid)
+    v = coords.shape[0]
+    dzdy = jnp.asarray(_OFFSETS_ZY, coords.dtype)
+    center_rows = jnp.concatenate(
+        [
+            coords[:, None, 0:1] + dzdy[None, :, 0:1],
+            coords[:, None, 1:2] + dzdy[None, :, 1:2],
+            jnp.broadcast_to(coords[:, None, 2:3], (v, 9, 1)),
+        ],
+        axis=-1,
+    )
+    return _neighbor_rows(
+        center_rows, jnp.broadcast_to(valid[:, None], (v, 9)), grid, table
     )
 
 
 def subm_conv3d(coords, feats, valid, keys, grid, weights, bias=None, neighbors=None):
     """Submanifold 3x3x3 conv: out[i] = sum_k W_k @ feat[neighbor_k(i)].
 
-    weights (27, Cin, Cout). Buffers must be sort_voxels-canonical. Pass
-    ``neighbors = subm_neighbors(...)`` to amortize the lookup across convs."""
+    weights (27, Cin, Cout) in _OFFSETS_3 order. Buffers must be
+    sort_voxels-canonical. Pass ``neighbors = subm_neighbors(...)`` to
+    amortize the lookup across convs."""
     if neighbors is None:
         neighbors = subm_neighbors(coords, valid, keys, grid)
     idx, found = neighbors
-    gathered = feats[idx] * found[..., None]  # (V, 27, C)
-    vN, kN, cin = gathered.shape
-    cout = weights.shape[-1]
-    out = gathered.reshape(vN, kN * cin) @ weights.reshape(kN * cin, cout)
+    out = _subm_pertap(feats, weights, idx, found)
     if bias is not None:
         out = out + bias
     return out * valid[:, None]
+
+
+@jax.custom_vjp
+def _subm_pertap(feats, weights, idx, found):
+    """Submanifold per-tap contraction with a GATHER-based backward.
+
+    The submanifold neighbor relation is symmetric on one site set:
+    idx[v,k]=u & found[v,k] <=> idx[u,26-k]=v & found[u,26-k] (offset k
+    negates to 26-k in _OFFSETS_3 order). So d feats = the same per-tap
+    gather applied to the cotangent with flipped/transposed weights —
+    no scatter-add (XLA's row scatter-add was ~100ms+ of the backbone's
+    backward at the full grid)."""
+    return _pertap_contract(feats, idx, found, weights)
+
+
+def _subm_pertap_fwd(feats, weights, idx, found):
+    return _pertap_contract(feats, idx, found, weights), (feats, weights, idx, found)
+
+
+def _subm_pertap_bwd(res, g):
+    feats, weights, idx, found = res
+    kN = weights.shape[0]
+    wflip = jnp.flip(weights, 0).transpose(0, 2, 1)
+    dfeats = _pertap_contract(g, idx, found, wflip)
+    dW = []
+    for k in range(kN):
+        gk = feats[idx[:, k]] * found[:, k, None]
+        dW.append(
+            jax.lax.dot_general(
+                gk, g, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return dfeats.astype(feats.dtype), jnp.stack(dW).astype(weights.dtype), None, None
+
+
+_subm_pertap.defvjp(_subm_pertap_fwd, _subm_pertap_bwd)
+
+
+def _pertap_contract(feats, idx, found, weights):
+    """sum_k feats[idx[:, k]] @ W_k with one gather per tap.
+
+    Per-tap indices are MONOTONE (both source and targets are key-sorted and
+    the tap offset is fixed), so each gather streams through the feature
+    array nearly sequentially — measured 1.5x faster than the interleaved
+    (V, 27) gather at the full Waymo grid (27.5 -> 18.5 ms, C=16)."""
+    n_out = idx.shape[0]
+    kN, cin, cout = weights.shape
+    # Per-tap python-unrolled gathers: each tap's indices are MONOTONE (source
+    # and targets key-sorted, fixed offset), which streams the feature array
+    # nearly sequentially. Measured at the full Waymo grid against (a) the
+    # interleaved (V, 27) gather (fwd 227 / train 704 ms) and (b) a single
+    # tap-major gather + batched matmul (fwd 218 / train 669): this loop wins
+    # both (fwd 211 / train 523).
+    out = jnp.zeros((n_out, cout), jnp.float32)
+    for k in range(kN):
+        g = feats[idx[:, k]] * found[:, k, None]
+        out = out + jax.lax.dot_general(
+            g, weights[k].astype(feats.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return out.astype(feats.dtype)
 
 
 def downsample_sites(coords, valid, grid, v_out: int):
@@ -177,14 +289,23 @@ def sparse_conv3d_down2(coords, feats, valid, keys, grid, weights, v_out: int, b
     static ``down2_grid(grid)``. For output site o and tap t in 3^3: input coord =
     2*o + t - 1."""
     out_coords, out_valid, out_keys, _ = downsample_sites(coords, valid, grid, v_out)
-    taps = (
-        2 * out_coords[None, :, :]
-        + jnp.asarray(_OFFSETS_3, coords.dtype)[:, None, :]
-    )  # offsets -1..1 around 2*o (pad 1)
-    gathered = _gather_taps(coords, feats, valid, keys, grid, taps)  # (Vout, 27, Cin)
-    vN, kN, cin = gathered.shape
-    cout = weights.shape[-1]
-    out = gathered.reshape(vN, kN * cin) @ weights.reshape(kN * cin, cout)
+    # bitmap-row formulation: taps laid out as 9 (dz, dy) rows centered at
+    # (2o_z+dz, 2o_y+dy, 2o_x), each row served by one 16B table fetch
+    table = build_bitmap_table(keys, valid, grid)
+    n_out = out_coords.shape[0]
+    dzdy = jnp.asarray(_OFFSETS_ZY, coords.dtype)
+    center_rows = jnp.concatenate(
+        [
+            2 * out_coords[:, None, 0:1] + dzdy[None, :, 0:1],
+            2 * out_coords[:, None, 1:2] + dzdy[None, :, 1:2],
+            jnp.broadcast_to(2 * out_coords[:, None, 2:3], (n_out, 9, 1)),
+        ],
+        axis=-1,
+    )
+    idx, found = _neighbor_rows(
+        center_rows, jnp.broadcast_to(out_valid[:, None], (n_out, 9)), grid, table
+    )
+    out = _pertap_contract(feats, idx, found, weights)
     if bias is not None:
         out = out + bias
     return out_coords, out * out_valid[:, None], out_valid, out_keys
@@ -227,10 +348,18 @@ def sparse_conv3d_downz(coords, feats, valid, keys, grid, weights, v_out: int, b
     taps = (
         out_coords[None, :, :] * jnp.asarray([2, 1, 1], coords.dtype)
         + offs[:, None, :]
+    )  # (3, Vout, 3) input coords per z-tap
+    btable = build_bitmap_table(keys, valid, grid)
+    tap_ok = _in_grid(taps.reshape(-1, 3), grid).reshape(3, -1) & out_valid[None, :]
+    tap_keys = jnp.clip(
+        jnp.where(tap_ok, _linearize(taps.reshape(-1, 3), grid).reshape(3, -1), 0),
+        0, nz * ny * nx - 1,
     )
-    gathered = _gather_taps(coords, feats, valid, keys, grid, taps)  # (Vout, 3, Cin)
-    vN, kN, cin = gathered.shape
-    out = gathered.reshape(vN, kN * cin) @ weights.reshape(kN * cin, -1)
+    center_only = jnp.asarray([False, True, False])
+    idx3, ok3 = _bitmap_lookup_rows(btable, tap_keys, tap_ok, center_only, nz * ny * nx)
+    idx = idx3[..., 1].T  # (Vout, 3)
+    found = ok3[..., 1].T
+    out = _pertap_contract(feats, idx, found, weights)
     if bias is not None:
         out = out + bias
     return out_coords, out * out_valid[:, None], out_valid, out_keys
