@@ -28,14 +28,46 @@ def _to_host(tree):
 class CheckpointManager:
     """Directory of step-numbered checkpoints + meta.json, with latest/best markers."""
 
-    def __init__(self, directory: str | os.PathLike, max_to_keep: int = 5):
+    def __init__(
+        self, directory: str | os.PathLike, max_to_keep: int = 5,
+        use_async: bool = False,
+    ):
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        # use_async=True: saves return immediately and serialize on a
+        # background thread (orbax AsyncCheckpointer); call wait() before
+        # reading the checkpoint back or exiting. Training loops keep the
+        # default synchronous story (the labeler/detector ckpts are small);
+        # async is for multi-GB two-stage states on multi-day runs.
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = use_async
+        self._pending_meta = []  # (step, meta, is_best) awaiting async commit
         self.max_to_keep = max_to_keep
+
+    def wait(self):
+        """Block until any in-flight async save has committed, then write the
+        deferred meta/best markers (the step dir only exists post-commit)."""
+        if self._async:
+            self._ckptr.wait_until_finished()
+            for step, meta, is_best in self._pending_meta:
+                self._write_markers(step, meta, is_best)
+            self._pending_meta = []
+            self._gc()
 
     def _step_dir(self, step: int) -> Path:
         return self.directory / f"ckpt_{step:08d}"
+
+    def _write_markers(self, step: int, meta: dict, is_best: bool):
+        path = self._step_dir(step)
+        (path / "meta.json").write_text(json.dumps(meta, default=float))
+        (self.directory / "latest.json").write_text(json.dumps({"step": step}))
+        if is_best:
+            (self.directory / "best.json").write_text(
+                json.dumps({"step": step, **{k: v for k, v in meta.items()}}, default=float)
+            )
 
     def save(self, step: int, state_tree: Any, meta: Optional[dict] = None, is_best: bool = False):
         """state_tree: any pytree (e.g. {'params':..., 'batch_stats':..., 'opt_state':...})."""
@@ -43,12 +75,11 @@ class CheckpointManager:
         self._ckptr.save(path, _to_host(state_tree), force=True)
         meta = dict(meta or {})
         meta["step"] = step
-        (path / "meta.json").write_text(json.dumps(meta, default=float))
-        (self.directory / "latest.json").write_text(json.dumps({"step": step}))
-        if is_best:
-            (self.directory / "best.json").write_text(
-                json.dumps({"step": step, **{k: v for k, v in meta.items()}}, default=float)
-            )
+        if self._async:
+            # the step dir appears only when the background commit finishes
+            self._pending_meta.append((step, meta, is_best))
+            return path
+        self._write_markers(step, meta, is_best)
         self._gc()
         return path
 
@@ -89,6 +120,7 @@ class CheckpointManager:
 
     def restore(self, step: Optional[int] = None, target: Any = None):
         """Restore a checkpoint tree. step=None -> latest. Returns (tree, meta)."""
+        self.wait()
         if step is None:
             step = self.latest_step()
         if step is None:

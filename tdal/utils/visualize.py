@@ -184,3 +184,52 @@ def show_track_open3d(track: dict):
         traj.colors = o3d.utility.Vector3dVector([(0.1, 0.1, 0.1)] * (len(centers) - 1))
         geo.append(traj)
     o3d.visualization.draw_geometries(geo)
+
+
+def show_sequence_open3d(frames, score_thresh=0.5, window_name="tdal"):
+    """Interactive sequence playback: N/P keys step frames forward/back.
+
+    Parity: reference tools/visualize/vis_pred.py main loop (VisualizerWithKey
+    window stepping a sequence, drawing GT + up to two prediction sets in
+    distinct colors with a score threshold). ``frames``: list of dicts
+    {points (N,3), gt (G,7)?, sets: [{boxes, scores?, color?, name?}]}."""
+    o3d = _require_open3d()
+
+    state = {"i": 0}
+    vis = o3d.visualization.VisualizerWithKeyCallback()
+    vis.create_window(window_name=window_name)
+
+    def _load(idx):
+        vis.clear_geometries()
+        fr = frames[idx]
+        pc = o3d.geometry.PointCloud(
+            o3d.utility.Vector3dVector(np.asarray(fr["points"])[:, :3])
+        )
+        vis.add_geometry(pc)
+        sets = list(fr.get("sets", []))
+        if fr.get("gt") is not None:
+            sets.insert(0, {"boxes": fr["gt"], "color": (0.0, 0.8, 0.0), "name": "GT"})
+        for bs in sets:
+            color = tuple(bs.get("color", (0.9, 0.1, 0.1)))
+            scores = bs.get("scores")
+            for i, b in enumerate(np.atleast_2d(np.asarray(bs["boxes"]))):
+                if scores is not None and float(scores[i]) < score_thresh:
+                    continue
+                vis.add_geometry(_box_lineset(o3d, b, color), reset_bounding_box=False)
+        print(f"frame {idx + 1}/{len(frames)}")
+
+    def _next(v):
+        state["i"] = min(state["i"] + 1, len(frames) - 1)
+        _load(state["i"])
+        return False
+
+    def _prev(v):
+        state["i"] = max(state["i"] - 1, 0)
+        _load(state["i"])
+        return False
+
+    vis.register_key_callback(ord("N"), _next)
+    vis.register_key_callback(ord("P"), _prev)
+    _load(0)
+    vis.run()
+    vis.destroy_window()

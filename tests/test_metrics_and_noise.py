@@ -135,3 +135,7 @@ def test_show_open3d_gated():
         show_open3d(np.zeros((4, 3)))
     with pytest.raises(ImportError):
         show_track_open3d({"point": [np.zeros((2, 3))], "bbox": [np.zeros(7)]})
+    from tdal.utils.visualize import show_sequence_open3d
+
+    with pytest.raises(ImportError):
+        show_sequence_open3d([{"points": np.zeros((4, 3)), "sets": []}])

@@ -220,3 +220,23 @@ def test_load_checkpoint_uri_url_and_npz(tmp_path):
     # plain local path dispatch
     tree3, meta3 = load_checkpoint_uri(str(tmp_path / "zoo_ckpt"))
     np.testing.assert_allclose(tree3["params"]["w"], np.arange(4.0))
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """ROADMAP item 5: async saves commit in the background; restore waits."""
+    import jax.numpy as jnp
+
+    from tdal.runtime.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", use_async=True)
+    tree = {"params": {"w": jnp.arange(8.0)}}
+    mgr.save(1, tree, meta={"acc": 0.5})
+    mgr.wait()
+    restored, meta = mgr.restore(target=tree)
+    np.testing.assert_allclose(restored["params"]["w"], np.arange(8.0))
+    assert meta["acc"] == 0.5
+    # a second save immediately after the first (tests in-flight handling)
+    mgr.save(2, {"params": {"w": jnp.ones(8)}}, meta={"acc": 0.9}, is_best=True)
+    restored, meta = mgr.restore(target=tree)  # restore() waits internally
+    np.testing.assert_allclose(restored["params"]["w"], 1.0)
+    assert mgr.best_step() == 2
