@@ -144,7 +144,7 @@ def _fwd_stats_kernel(
     statr[1] += (am * acc).sum(axis=(0, 1))
 
 
-def _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act):
+def _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act, return_padded=False):
     b, h, wd, c = x.shape
     co = w.shape[-1]
     cp = _round_up(c, 128)
@@ -193,6 +193,8 @@ def _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act):
             transcendentals=0,
         ),
     )(xp, wpad, isc, ish, bias.astype(jnp.float32))
+    if return_padded:
+        return yp[:, :h, :wd, :], stats, xp
     return yp[:, :h, :wd, :], stats
 
 
@@ -316,16 +318,20 @@ def _wgrad_act_kernel(xr, dyr, isr, itr, dwr, xt, sem, *, th, tw, co, nh, nw, in
             )
 
 
-def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act):
-    b, h, wd, c = x.shape
+def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act, c: int, xp=None):
+    """x may be the UNPADDED input or None when ``xp`` (the forward pass's
+    already-padded input, saved in the VJP residuals) is supplied — reusing it
+    skips one full pad (read+write of the activation) per conv backward."""
+    b, h, wd = dy.shape[0], dy.shape[1], dy.shape[2]
     co = dy.shape[-1]
     cp = _round_up(c, 128)
     th, tw = _tiles(cp, co)
     nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
     hp, wp = nh * th, nw * tw
-    xp = jnp.pad(
-        x, ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO), (0, cp - c))
-    )
+    if xp is None:
+        xp = jnp.pad(
+            x, ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO), (0, cp - c))
+        )
     dyp = jnp.pad(dy, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
     isc = jnp.pad(in_scale.astype(jnp.float32), (0, cp - c), constant_values=1.0)
     ish = jnp.pad(in_shift.astype(jnp.float32), (0, cp - c))
@@ -525,12 +531,25 @@ def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act):
 
 
 def _cas_fwd(x, w, bias, in_scale, in_shift, in_act):
+    if _use_pallas(x, w.shape[-1]):
+        y, stats, xp = _pallas_fwd_stats(
+            x, w, bias, in_scale, in_shift, in_act, return_padded=True
+        )
+        # save the PADDED input: wgrad reuses it directly, and the mask/ds/dt
+        # reads slice it (XLA fuses the slice into the elementwise consumers)
+        res = (xp, None, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
+        return (y, stats), res
     y, stats = conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act)
-    return (y, stats), (x, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
+    return (y, stats), (None, x, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
 
 
 def _cas_bwd(in_act, res, ct):
-    x, w, s, t, y, bmark = res
+    xp, x, w, s, t, y, bmark = res
+    c = w.shape[2]
+    if xp is not None:
+        # spatial dims of a SAME stride-1 conv match the output's
+        h, wd = y.shape[1], y.shape[2]
+        x = xp[:, HALO : HALO + h, HALO : HALO + wd, :c]
     gy, gstats = ct
     gsum, gss = gstats[0], gstats[1]
     # cotangent into the RAW conv output: direct + through the two moments
@@ -541,7 +560,7 @@ def _cas_bwd(in_act, res, ct):
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
     if _use_pallas(gy_tot, wt.shape[-1]):
         dxhat = _pallas_fwd(gy_tot, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
-        dw = _pallas_wgrad_act(x, gy_tot, s, t, in_act)
+        dw = _pallas_wgrad_act(x if xp is None else None, gy_tot, s, t, in_act, c, xp=xp)
     else:
         xin = _in_affine(x, s, t) if in_act else x
         dxhat = _xla_conv(gy_tot, wt.astype(gy_tot.dtype))

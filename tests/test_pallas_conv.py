@@ -107,3 +107,43 @@ def test_fused_conv_bn_matches_reference_composition():
     ye_f = fused.apply(fv2, x, False)
     ye_r = ref.apply({"params": rp, "batch_stats": rbs2}, x, False)
     np.testing.assert_allclose(np.asarray(ye_f), np.asarray(ye_r), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_act_stats_grads_match_autodiff():
+    """The cross-layer fused-BN op's custom VJP (input-side affine+ReLU, fused
+    output moments) == plain autodiff through the composite, for all five
+    differentiable inputs, chained (in_act=True) and unchained."""
+    import jax
+    import jax.numpy as jnp
+
+    from tdal.ops.pallas_conv import _xla_conv, conv3x3_act_stats
+
+    rng = np.random.default_rng(0)
+    B, H, W, C, Co = 2, 8, 9, 5, 7
+    x = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, C, Co)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(Co,)).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.5, 2.0, C).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(C,)).astype(np.float32))
+
+    def ref(x, w, b, s, t, in_act):
+        xin = jnp.maximum(x * s + t, 0.0) if in_act else x
+        y = _xla_conv(xin, w) + b
+        stats = jnp.stack([y.sum((0, 1, 2)), (y * y).sum((0, 1, 2))])
+        return y, stats
+
+    wy = jnp.arange(B * H * W * Co, dtype=jnp.float32).reshape(B, H, W, Co)
+    ws = jnp.array([[1.7], [0.3]])
+    for in_act in (False, True):
+        def loss(f):
+            def inner(x, w, b, s, t):
+                y, st = f(x, w, b, s, t, in_act)
+                return (y * wy).sum() + (st * ws).sum()
+            return inner
+
+        g1 = jax.grad(loss(conv3x3_act_stats), argnums=(0, 1, 2, 3, 4))(x, w, b, s, t)
+        g2 = jax.grad(loss(ref), argnums=(0, 1, 2, 3, 4))(x, w, b, s, t)
+        for a, bb in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-4 * float(np.max(np.abs(bb)) + 1)
+            )
