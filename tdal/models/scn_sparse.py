@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from tdal.models.layers import MaskedBatchNorm
 from tdal.ops.sparse_conv import (
+    build_bitmap_table,
     down2_grid,
     downz_grid,
     scatter_dense_bev,
@@ -76,7 +77,13 @@ class SparseMiddleBackbone(nn.Module):
         coords, feats, valid, keys = vm(
             lambda c, f, m: sort_voxels(c, f, m, grid0), coords, feats, valid
         )
-        nbrs = vm(lambda c, m, k: subm_neighbors(c, m, k, grid0), coords, valid, keys)
+        # one bitmap table per resolution level, shared by the neighbor pass
+        # and the level's strided conv
+        table = vm(lambda k, m: build_bitmap_table(k, m, grid0), keys, valid)
+        nbrs = vm(
+            lambda c, m, k, t: subm_neighbors(c, m, k, grid0, table=t),
+            coords, valid, keys, table,
+        )
         x = vm(
             lambda c, f, m, k, nb: subm_conv3d(c, f, m, k, grid0, w_in, neighbors=nb),
             coords, feats, valid, keys, nbrs,
@@ -108,23 +115,28 @@ class SparseMiddleBackbone(nn.Module):
             if i + 1 < len(chans):
                 cap = int(caps[i + 1]) if i + 1 < len(caps) else v
                 coords, x, valid, keys = jax.vmap(
-                    lambda cc, ff, mm, kk: sparse_conv3d_down2(
-                        cc, ff, mm, kk, g, downs[i], cap
+                    lambda cc, ff, mm, kk, tt: sparse_conv3d_down2(
+                        cc, ff, mm, kk, g, downs[i], cap, table=tt
                     )
-                )(coords, x, valid, keys)
+                )(coords, x, valid, keys, table)
                 grid = down2_grid(g)
                 g2 = grid
-                nbrs = jax.vmap(lambda c, m, k: subm_neighbors(c, m, k, g2))(
-                    coords, valid, keys
+                table = jax.vmap(lambda k, m: build_bitmap_table(k, m, g2))(
+                    keys, valid
                 )
+                nbrs = jax.vmap(
+                    lambda c, m, k, t: subm_neighbors(c, m, k, g2, table=t)
+                )(coords, valid, keys, table)
                 x = self._bn_relu(x, valid, train)
 
         # ---- final z-compression ----
         g = grid
         cap = int(caps[-1]) if len(caps) >= len(chans) else v
         coords, x, valid, keys = jax.vmap(
-            lambda cc, ff, mm, kk: sparse_conv3d_downz(cc, ff, mm, kk, g, w_z, cap)
-        )(coords, x, valid, keys)
+            lambda cc, ff, mm, kk, tt: sparse_conv3d_downz(
+                cc, ff, mm, kk, g, w_z, cap, table=tt
+            )
+        )(coords, x, valid, keys, table)
         grid = downz_grid(g)
         x = self._bn_relu(x, valid, train)
 

@@ -332,6 +332,7 @@ def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act, c: int, xp=None):
         xp = jnp.pad(
             x, ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO), (0, cp - c))
         )
+    xdtype = xp.dtype
     dyp = jnp.pad(dy, ((0, 0), (0, hp - h), (0, wp - wd), (0, 0)))
     isc = jnp.pad(in_scale.astype(jnp.float32), (0, cp - c), constant_values=1.0)
     ish = jnp.pad(in_shift.astype(jnp.float32), (0, cp - c))
@@ -356,7 +357,7 @@ def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act, c: int, xp=None):
         ),
         out_shape=jax.ShapeDtypeStruct((3, 3, cp, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), x.dtype),
+            pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cp), xdtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(

@@ -282,7 +282,7 @@ def downsample_sites(coords, valid, grid, v_out: int):
     return out_coords, out_valid, jnp.where(out_valid, out_keys, jnp.iinfo(jnp.int32).max), n_out
 
 
-def sparse_conv3d_down2(coords, feats, valid, keys, grid, weights, v_out: int, bias=None):
+def sparse_conv3d_down2(coords, feats, valid, keys, grid, weights, v_out: int, bias=None, table=None):
     """k3/s2/p1 sparse conv (spconv SparseConv3d stride 2).
 
     Returns (out_coords, out_feats, out_valid, out_keys); the output grid is the
@@ -291,7 +291,8 @@ def sparse_conv3d_down2(coords, feats, valid, keys, grid, weights, v_out: int, b
     out_coords, out_valid, out_keys, _ = downsample_sites(coords, valid, grid, v_out)
     # bitmap-row formulation: taps laid out as 9 (dz, dy) rows centered at
     # (2o_z+dz, 2o_y+dy, 2o_x), each row served by one 16B table fetch
-    table = build_bitmap_table(keys, valid, grid)
+    if table is None:
+        table = build_bitmap_table(keys, valid, grid)
     n_out = out_coords.shape[0]
     dzdy = jnp.asarray(_OFFSETS_ZY, coords.dtype)
     center_rows = jnp.concatenate(
@@ -319,7 +320,7 @@ def downz_grid(grid):
     return ((grid[0] + 1) // 2, grid[1], grid[2])
 
 
-def sparse_conv3d_downz(coords, feats, valid, keys, grid, weights, v_out: int, bias=None):
+def sparse_conv3d_downz(coords, feats, valid, keys, grid, weights, v_out: int, bias=None, table=None):
     """(3,1,1) kernel, stride (2,1,1) sparse conv — the final z-compression of the
     reference backbone (scn.py:139-144)."""
     nz, ny, nx = grid
@@ -349,7 +350,7 @@ def sparse_conv3d_downz(coords, feats, valid, keys, grid, weights, v_out: int, b
         out_coords[None, :, :] * jnp.asarray([2, 1, 1], coords.dtype)
         + offs[:, None, :]
     )  # (3, Vout, 3) input coords per z-tap
-    btable = build_bitmap_table(keys, valid, grid)
+    btable = table if table is not None else build_bitmap_table(keys, valid, grid)
     tap_ok = _in_grid(taps.reshape(-1, 3), grid).reshape(3, -1) & out_valid[None, :]
     tap_keys = jnp.clip(
         jnp.where(tap_ok, _linearize(taps.reshape(-1, 3), grid).reshape(3, -1), 0),
