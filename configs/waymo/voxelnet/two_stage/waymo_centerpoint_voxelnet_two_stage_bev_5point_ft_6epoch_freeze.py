@@ -12,6 +12,8 @@ class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
 first_stage_cfg = dict(
     type="VoxelNet",
+    # bf16 compute / fp32 params+accumulation (TPU-native production setting)
+    dtype="bfloat16",
     pretrained="./work_dirs/waymo_centerpoint_voxelnet_3x/checkpoints",
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=5),
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=5, ds_factor=8),

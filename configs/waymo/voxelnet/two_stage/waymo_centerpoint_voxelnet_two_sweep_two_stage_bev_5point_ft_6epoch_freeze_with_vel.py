@@ -13,6 +13,10 @@ class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
 first_stage_cfg = dict(
     type="VoxelNet",
+    # bf16 compute / fp32 params+accumulation: the TPU-native production
+    # setting (the gather-bound sparse backbone is HBM-bandwidth-bound, so
+    # fp32 compute costs ~2x the frame time for no accuracy benefit).
+    dtype="bfloat16",
     pretrained="./work_dirs/waymo_centerpoint_voxelnet_two_sweeps_3x_with_velo/checkpoints",
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=6),
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=6, ds_factor=8),

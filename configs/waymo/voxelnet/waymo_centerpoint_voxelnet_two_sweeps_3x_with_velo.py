@@ -11,6 +11,8 @@ class_names = list(itertools.chain(*[t["class_names"] for t in tasks]))
 
 model = dict(
     type="VoxelNet",
+    # bf16 compute / fp32 params+accumulation (TPU-native production setting)
+    dtype="bfloat16",
     pretrained=None,
     reader=dict(type="VoxelFeatureExtractorV3", num_input_features=6),
     backbone=dict(type="SpMiddleResNetFHD", num_input_features=6, ds_factor=8),

@@ -159,13 +159,20 @@ def voxelize_batch(points, cfg: VoxelConfig):
         f = lambda p: voxelize(p, cfg)
         outs = [f(points[i]) for i in range(b)]
         return tuple(jnp.stack([o[j] for o in outs]) for j in range(4))
+    # A frame can never produce more voxels than it has input points, so clamp
+    # the static voxel buffer to the (static) padded point count. The reference
+    # configs set test-time max_voxel_num=400000 (e.g. two-sweep voxelnet
+    # *_with_vel.py:172) because a dynamic-shape CUDA runtime only pays for
+    # actual voxels; our static buffers pay for the whole cap — every sparse op
+    # downstream scales with V (measured: the production two-stage predict
+    # dropped ~2x when the 400k buffer stopped exceeding the 180k point pad).
     return _voxelize_impl(
         points,
         tuple(cfg.point_cloud_range),
         tuple(cfg.voxel_size),
         grid,
         cfg.max_points_per_voxel,
-        cfg.max_voxels,
+        min(cfg.max_voxels, points.shape[1]),
     )
 
 
