@@ -230,6 +230,44 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+class SubpixelDeconv(nn.Module):
+    """k==s transposed conv as ONE MXU matmul + depth-to-space.
+
+    With kernel_size == stride every input pixel independently emits an s x s
+    output block, so the transposed conv is exactly a 1x1 conv to s*s*features
+    channels followed by depth-to-space. XLA lowers nn.ConvTranspose to an
+    input-dilated conv, which is slower on TPU at the RPN shapes (234^2x128 s2
+    b2 bf16: fwd 12.7 -> 10.8 ms, wgrad 10.6 -> 5.1 ms; benchmarks/
+    deconv_micro.py). Param path/shape match nn.ConvTranspose ("kernel",
+    (s, s, cin, features)) so checkpoints are interchangeable; flax's
+    ConvTranspose applies the kernel flipped, which we mirror."""
+
+    features: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        b, h, w, cin = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (s, s, cin, self.features),
+        )
+        wm = (
+            jnp.flip(kernel, (0, 1))
+            .astype(self.dtype)
+            .transpose(2, 0, 1, 3)
+            .reshape(cin, s * s * self.features)
+        )
+        y = x.reshape(b * h * w, cin) @ wm
+        y = y.reshape(b, h, w, s, s, self.features)
+        return jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b, h * s, w * s, self.features
+        )
+
+
 class DeconvBNReLU(nn.Module):
     """Transpose-conv upsample (or strided conv when stride < 1 is encoded as
     downsample=True) + BN + ReLU. Parity: RPN deblocks (necks/rpn.py:80-110)."""
@@ -256,6 +294,12 @@ class DeconvBNReLU(nn.Module):
                 self.features, (1, 1), use_bias=False, dtype=self.dtype
             )(x)
         else:
+            # Measured: SubpixelDeconv (matmul + depth-to-space) wins isolated
+            # (benchmarks/deconv_micro.py) but LOSES integrated — PP train step
+            # 102.5 -> 106.3 ms, predict 34.3 -> 35.8 ms b2 — because XLA fuses
+            # BN/ReLU into the transposed conv but not across the 6D transpose.
+            # Keep XLA's ConvTranspose here; SubpixelDeconv stays for layouts
+            # where the surrounding graph can't fuse anyway.
             x = nn.ConvTranspose(
                 self.features,
                 (self.stride, self.stride),
