@@ -31,7 +31,12 @@ import time
 import traceback
 
 B, N, NOBJ = 32, 512, 512
-WARMUP, ITERS = 5, 50  # the labeler fwd is ~2.6ms; long runs damp tunnel jitter
+# The labeler fwd is ~1.5 ms, and each timed block ends with ONE host fetch
+# whose tunnel latency varies by ~50-150 ms run-to-run. At 50 iters the block
+# (~75 ms) was comparable to that latency, so the headline swung 2x (16k-30k
+# sets/s within one bench run). 400 iters makes each block ~0.6 s so the fetch
+# contributes <10%.
+WARMUP, ITERS = 5, 400
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
 
