@@ -84,6 +84,14 @@ def _step_ids(step, nh, nw):
     return b, i, j
 
 
+def _inbounds(nr, nc, off_r, off_c, h, w):
+    """(nr, nc, 1) f32 mask: 1 where global pixel (off_r + r, off_c + c) lies
+    inside the valid (h, w) image, 0 in the zero-padded halo/remainder."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 0) + off_r
+    col = jax.lax.broadcasted_iota(jnp.int32, (nr, nc, 1), 1) + off_c
+    return ((row >= 0) & (row < h) & (col >= 0) & (col < w)).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # forward kernel with INPUT-side affine(+ReLU) and fused output stats
 # (the cross-layer BN restructure: the producing conv's BatchNorm normalize
@@ -114,20 +122,34 @@ def _fwd_stats_kernel(
         _dma(xr, xt, sem, (slot + 1) % 2, nb, ni, nj, th, tw).start()
 
     _dma(xr, xt, sem, slot, b, i, j, th, tw).wait()
+    if in_act:
+        # previous layer's BN normalize + ReLU, applied ONCE in VMEM over the
+        # (th+2, tw+2) halo'd window; the 9 taps below slice the result. Cast
+        # back to the input dtype so the math matches the materialized bf16
+        # activation it replaces bit-for-bit. The halo outside the valid
+        # (h, w) image is ZERO in the materialized-activation semantics, but
+        # the affine turns padded zeros into relu(shift) — mask it back out
+        # (border taps otherwise read garbage; measured 17% BN-stat error at
+        # 64x64, benchmarks/halo_check.py).
+        src = xt[slot, pl.ds(HALO - 1, th + 2), pl.ds(HALO - 1, tw + 2), :]
+        act = jnp.maximum(src.astype(jnp.float32) * isr[:] + itr[:], 0.0)
+        act = (
+            act * _inbounds(th + 2, tw + 2, i * th - 1, j * tw - 1, h, w)
+        ).astype(xt.dtype)
+
+        def tap(dy, dx):
+            return jax.lax.slice(act, (dy, dx, 0), (dy + th, dx + tw, act.shape[2]))
+
+    else:
+
+        def tap(dy, dx):
+            return xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
+
     acc = jnp.zeros((th, tw, co), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            tile = xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
-            if in_act:
-                # previous layer's BN normalize + ReLU, applied in VMEM.
-                # Cast back to the input dtype so the math matches the
-                # materialized bf16 activation it replaces bit-for-bit.
-                tile = (
-                    tile.astype(jnp.float32) * isr[:] + itr[:]
-                )
-                tile = jnp.maximum(tile, 0.0).astype(xt.dtype)
             acc = acc + jax.lax.dot_general(
-                tile, wr[dy, dx],
+                tap(dy, dx), wr[dy, dx],
                 (((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -281,7 +303,9 @@ def _pallas_fwd(x, w, shift, scale=None, relu=False):
 # ---------------------------------------------------------------------------
 
 
-def _wgrad_act_kernel(xr, dyr, isr, itr, dwr, xt, sem, *, th, tw, co, nh, nw, in_act):
+def _wgrad_act_kernel(
+    xr, dyr, isr, itr, dwr, xt, sem, *, th, tw, co, nh, nw, in_act, h, w
+):
     """wgrad with the producer-BN affine+ReLU applied to x tiles in VMEM
     (the input the conv actually saw on the chained train path)."""
     b = pl.program_id(0)
@@ -303,16 +327,28 @@ def _wgrad_act_kernel(xr, dyr, isr, itr, dwr, xt, sem, *, th, tw, co, nh, nw, in
         _dma(xr, xt, sem, (slot + 1) % 2, nb, ni, nj, th, tw).start()
 
     _dma(xr, xt, sem, slot, b, i, j, th, tw).wait()
+    if in_act:
+        # one affine+ReLU+halo-mask pass shared by the 9 taps — same masking
+        # rationale as _fwd_stats_kernel
+        src = xt[slot, pl.ds(HALO - 1, th + 2), pl.ds(HALO - 1, tw + 2), :]
+        act = jnp.maximum(src.astype(jnp.float32) * isr[:] + itr[:], 0.0)
+        act = (
+            act * _inbounds(th + 2, tw + 2, i * th - 1, j * tw - 1, h, w)
+        ).astype(xt.dtype)
+
+        def tap(dy, dx):
+            return jax.lax.slice(act, (dy, dx, 0), (dy + th, dx + tw, act.shape[2]))
+
+    else:
+
+        def tap(dy, dx):
+            return xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
+
     dyt = dyr[:].reshape(th * tw, co)
     for dy in range(3):
         for dx in range(3):
-            tile = xt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
-            if in_act:
-                tile = (
-                    jnp.maximum(tile.astype(jnp.float32) * isr[:] + itr[:], 0.0)
-                ).astype(xt.dtype)
             dwr[dy, dx] += jax.lax.dot_general(
-                tile.reshape(th * tw, -1), dyt,
+                tap(dy, dx).reshape(th * tw, -1), dyt,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -337,7 +373,8 @@ def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act, c: int, xp=None):
     isc = jnp.pad(in_scale.astype(jnp.float32), (0, cp - c), constant_values=1.0)
     ish = jnp.pad(in_shift.astype(jnp.float32), (0, cp - c))
     kern = functools.partial(
-        _wgrad_act_kernel, th=th, tw=tw, co=co, nh=nh, nw=nw, in_act=in_act
+        _wgrad_act_kernel, th=th, tw=tw, co=co, nh=nh, nw=nw, in_act=in_act,
+        h=h, w=wd,
     )
     dw = pl.pallas_call(
         kern,

@@ -147,3 +147,41 @@ def test_conv3x3_act_stats_grads_match_autodiff():
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-4 * float(np.max(np.abs(bb)) + 1)
             )
+
+
+def test_in_act_halo_is_zero_on_tpu():
+    """TPU-only regression test: the Pallas in_act path must treat the padded
+    halo as ZERO in the materialized-activation semantics (relu(x*s+t) padded
+    with zeros), not apply the affine to padded zeros (relu(t) leakage).
+
+    Caught on hardware round 3: border outputs were off by O(shift) and BN
+    stats by 17% before the per-tap in-bounds masks (benchmarks/halo_check.py).
+    Skips off-TPU (the XLA fallback applies the affine pre-pad, which is the
+    reference semantics by construction)."""
+    import pytest
+
+    from tdal.ops.pallas_conv import _use_pallas, conv3x3_act_stats
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 64)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.1, jnp.bfloat16)
+    b = jnp.zeros((64,), jnp.float32)
+    s = jnp.asarray(rng.uniform(0.5, 2.0, 64), jnp.float32)
+    t = jnp.asarray(np.abs(rng.normal(size=64)) + 0.5, jnp.float32)  # positive shifts
+    if not _use_pallas(x, 64):
+        pytest.skip("Pallas path requires a TPU backend")
+
+    def ref(x, w, b, s, t):
+        xin = jnp.maximum(x.astype(jnp.float32) * s + t, 0.0).astype(x.dtype)
+        y = _xla_conv(xin, w) + b.astype(x.dtype)
+        yf = y.astype(jnp.float32)
+        return y, jnp.stack([yf.sum((0, 1, 2)), (yf * yf).sum((0, 1, 2))])
+
+    yp, stp = jax.jit(lambda *a: conv3x3_act_stats(*a, True))(x, w, b, s, t)
+    yr, str_ = jax.jit(ref)(x, w, b, s, t)
+    np.testing.assert_allclose(
+        np.asarray(yp, np.float32), np.asarray(yr, np.float32), atol=0.07
+    )
+    np.testing.assert_allclose(
+        np.asarray(stp), np.asarray(str_), rtol=1e-4
+    )
