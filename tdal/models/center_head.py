@@ -43,10 +43,21 @@ class SepHead(nn.Module):
     init_bias: float = -2.19
     dtype: jnp.dtype = jnp.float32
 
-    def _masked_conv(self, h, cin_per, cout_per, bias_vals, name, train=False):
+    def _masked_conv(self, h, cin_per, cout_per, bias_vals, name, train=False,
+                     pre=None):
         """Block-diagonal conv: branch i maps its cin_per[i] slice to its
         cout_per[i] slice. Masked dense weights keep it ONE conv op; the mask
-        also zeroes the gradient outside the blocks (chain rule through w*mask)."""
+        also zeroes the gradient outside the blocks (chain rule through w*mask).
+
+        ``pre=(scale, shift)``: the producing FusedConvBN's normalize+ReLU,
+        applied to ``h`` on this conv's input side (h is the RAW conv output).
+        On the TPU train path this rides the Pallas kernel's input pass in
+        VMEM with cout padded to 64 — the normalized 320-ch activation never
+        touches HBM and XLA's 43 GB/s tiny-output conv is avoided (trace:
+        fusion.39 6.5 ms fwd + 3.7 wgrad + 1.6 dgrad + 1.05 normalize at
+        B=2, benchmarks/prof_trace.py). A plain (unchained) Pallas variant
+        was measured SLOWER (122.8 vs 105 ms full step) — the win here needs
+        the chaining, not just the kernel."""
         import numpy as np
 
         k = self.final_kernel
@@ -80,17 +91,28 @@ class SepHead(nn.Module):
             ci += a
             co += c
         w = (kernel * jnp.asarray(mask)).astype(self.dtype)
-        # NOTE: a Pallas variant (Cout padded 13->64) was tried and measured
-        # SLOWER in the full train step (122.8 vs 105 ms) — XLA's tiny-output
-        # conv + its fused backward win here; keep the masked dense conv.
+        hc = h.astype(self.dtype)
+        if pre is not None and train and k == 3:
+            from tdal.ops.pallas_conv import _use_pallas, conv3x3_act_stats
+
+            cop = ((cout + 63) // 64) * 64
+            if _use_pallas(hc, cop):
+                wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, cop - cout)))
+                bp = jnp.pad(bias.astype(jnp.float32), (0, cop - cout))
+                y, _stats = conv3x3_act_stats(hc, wp, bp, pre[0], pre[1], True)
+                return y[..., :cout]
+        if pre is not None:
+            hc = nn.relu(
+                hc * pre[0].astype(self.dtype) + pre[1].astype(self.dtype)
+            )
         y = jax.lax.conv_general_dilated(
-            h.astype(self.dtype), w, (1, 1), "SAME",
+            hc, w, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + bias.astype(self.dtype)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, pre=None):
         names = list(self.heads.keys())
         depths = [self.heads[n][1] for n in names]
         outs = [self.heads[n][0] for n in names]
@@ -100,17 +122,32 @@ class SepHead(nn.Module):
         if len(names) > 1 and len(set(depths)) == 1:
             g, hc, depth = len(names), self.head_conv, depths[0]
             h = x
+            fpre = None  # affine handed from the last branch conv to the final
             for d in range(depth - 1):
                 if d == 0 and k == 3:
                     # every branch reads the same shared input: one dense conv
-                    # + BN + ReLU fused (eval-time BN folding), one HBM pass
+                    # + BN + ReLU fused (eval-time BN folding), one HBM pass.
+                    # With depth==2 (the production config) its normalize+ReLU
+                    # is ALSO deferred: the final masked conv applies it on
+                    # its input side (emit_raw chain).
                     from tdal.models.layers import FusedConvBN
 
-                    h = FusedConvBN(
+                    mod = FusedConvBN(
                         hc * g, use_bias=True, dtype=self.dtype,
                         name=f"branch_convbn{d}",
-                    )(h, train)
+                    )
+                    if depth == 2:
+                        h, fpre = mod(h, train, pre=pre, emit_raw=True)
+                    else:
+                        h = mod(h, train, pre=pre)
+                    pre = None
                     continue
+                if pre is not None:  # unchained first layer: materialize
+                    x = nn.relu(
+                        x.astype(self.dtype) * pre[0].astype(self.dtype)
+                        + pre[1].astype(self.dtype)
+                    )
+                    h, pre = x, None
                 if d == 0:
                     h = nn.Conv(
                         hc * g, (k, k), padding="SAME", use_bias=True,
@@ -126,6 +163,11 @@ class SepHead(nn.Module):
                 )(h)
                 h = nn.relu(h)
             if depth == 1:
+                if pre is not None:
+                    h = nn.relu(
+                        h.astype(self.dtype) * pre[0].astype(self.dtype)
+                        + pre[1].astype(self.dtype)
+                    )
                 y = nn.Conv(
                     sum(outs), (k, k), padding="SAME", use_bias=True,
                     bias_init=lambda key, s, dtype=jnp.float32: jnp.concatenate(
@@ -134,7 +176,9 @@ class SepHead(nn.Module):
                     dtype=self.dtype, name="final_conv",
                 )(h)
             else:
-                y = self._masked_conv(h, [hc] * g, outs, bias_vals, "final_conv", train)
+                y = self._masked_conv(
+                    h, [hc] * g, outs, bias_vals, "final_conv", train, pre=fpre
+                )
             out, co = {}, 0
             for name, c in zip(names, outs):
                 out[name] = y[..., co : co + c]
@@ -142,6 +186,11 @@ class SepHead(nn.Module):
             return out
 
         # general fallback: independent branches (unequal depths)
+        if pre is not None:
+            x = nn.relu(
+                x.astype(self.dtype) * pre[0].astype(self.dtype)
+                + pre[1].astype(self.dtype)
+            )
         out = {}
         for name, (classes, num_conv) in self.heads.items():
             h = x
@@ -185,9 +234,12 @@ class CenterHead(nn.Module):
         }
         from tdal.models.layers import FusedConvBN
 
-        x = FusedConvBN(
+        # emit_raw chain: the shared conv's BN normalize+ReLU is applied on
+        # each SepHead's first conv input side (re-computed per task in VMEM
+        # instead of materializing the normalized canvas in HBM once).
+        x, pre = FusedConvBN(
             self.share_conv_channel, use_bias=True, dtype=self.dtype
-        )(x, train)
+        )(x, train, emit_raw=True)
         rets = []
         for task in self.tasks:
             heads = dict(common)
@@ -195,7 +247,7 @@ class CenterHead(nn.Module):
             rets.append(
                 SepHead(
                     heads, final_kernel=3, init_bias=self.init_bias, dtype=self.dtype
-                )(x, train)
+                )(x, train, pre=pre)
             )
         return rets
 

@@ -36,6 +36,15 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _cpad(c):
+    """Channel padding for the input tiles. 128 is FORCED by Mosaic: slicing
+    the VMEM scratch along the last dim must be aligned to the (8, 128) lane
+    tiling ("Slice shape along dimension 3 must be aligned to tiling (128)").
+    64-alignment would halve the input DMA traffic of the C=64 layers but
+    fails to compile — measured dead end, do not retry."""
+    return _round_up(c, 128)
+
+
 def _use_pallas(x, co):
     return (
         jax.default_backend() == "tpu"
@@ -169,7 +178,7 @@ def _fwd_stats_kernel(
 def _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act, return_padded=False):
     b, h, wd, c = x.shape
     co = w.shape[-1]
-    cp = _round_up(c, 128)
+    cp = _cpad(c)
     th, tw = _tiles(cp, co)
     nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
     hp, wp = nh * th, nw * tw
@@ -258,7 +267,7 @@ def _fwd_kernel(xr, wr, sr, br, yr, xt, sem, *, th, tw, co, nh, nw, relu):
 def _pallas_fwd(x, w, shift, scale=None, relu=False):
     b, h, wd, c = x.shape
     co = w.shape[-1]
-    cp = _round_up(c, 128)
+    cp = _cpad(c)
     th, tw = _tiles(cp, co)
     nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
     hp, wp = nh * th, nw * tw
@@ -296,6 +305,163 @@ def _pallas_fwd(x, w, shift, scale=None, relu=False):
         ),
     )(xp, wpad, scale.astype(jnp.float32), shift.astype(jnp.float32))
     return yp[:, :h, :wd, :]
+
+
+# ---------------------------------------------------------------------------
+# fused dgrad for the in_act chain: dx = conv(gy, wt) * (pre > 0) * s with the
+# ds/dt moment cotangents accumulated in the SAME VMEM pass (pre = x*s + t,
+# x re-read from the forward's saved padded input).
+#
+# MEASURED: numerically exact (benchmarks/halo_check.py routes through it when
+# wired) but a net LOSS on the PP train step (104.1 vs 102.5 ms same-session
+# A/B) — XLA fuses the dxhat-consuming elementwise chain well enough that the
+# extra x-tile DMA + the padded-channel dx write cost more than the fused
+# passes save. Kept unrouted as a measured decision record; revisit on
+# hardware with slower elementwise fusion or wider chained convs.
+# ---------------------------------------------------------------------------
+
+
+def _tiles_dgrad(cg, cd):
+    """(th, tw) whose gy slots + x slots + acc + out slots + weights fit."""
+    tw = 64
+    for th in (64, 32, 16, 8):
+        need = (
+            2 * (th + 2 * HALO) * (tw + 2 * HALO) * cg * 2
+            + 2 * th * tw * cd * 2
+            + th * tw * cd * 4
+            + 2 * th * tw * cd * 2
+            + 9 * cg * cd * 2
+        )
+        if need <= 8 * 1024 * 1024:
+            return th, tw
+    return 8, tw
+
+
+def _dgrad_act_kernel(
+    gr, wr, xr, sr, tr, dxr, statr, gt, xt, sem, semx, *, th, tw, cd, nh, nw, h, w
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    step = (b * nh + i) * nw + j
+    slot = step % 2
+
+    def xdma(slot, bb, ii, jj):
+        # x tiles align with OUTPUT tiles (no halo): xp rows HALO + i*th ...
+        return pltpu.make_async_copy(
+            xr.at[bb, pl.ds(HALO + ii * th, th), pl.ds(HALO + jj * tw, tw)],
+            xt.at[slot], semx.at[slot],
+        )
+
+    @pl.when(step == 0)
+    def _():
+        _dma(gr, gt, sem, slot, b, i, j, th, tw).start()
+        xdma(slot, b, i, j).start()
+        statr[:] = jnp.zeros_like(statr)
+
+    nstep = step + 1
+    nb, ni, nj = _step_ids(nstep, nh, nw)
+
+    @pl.when(nstep < pl.num_programs(0) * nh * nw)
+    def _():
+        _dma(gr, gt, sem, (slot + 1) % 2, nb, ni, nj, th, tw).start()
+        xdma((slot + 1) % 2, nb, ni, nj).start()
+
+    _dma(gr, gt, sem, slot, b, i, j, th, tw).wait()
+    acc = jnp.zeros((th, tw, cd), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            tile = gt[slot, pl.ds(HALO - 1 + dy, th), pl.ds(HALO - 1 + dx, tw), :]
+            acc = acc + jax.lax.dot_general(
+                tile, wr[dy, dx],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+    xdma(slot, b, i, j).wait()
+    xv = xt[slot].astype(jnp.float32)
+    pre = xv * sr[:] + tr[:]
+    # relu mask AND the valid-image mask (stats must not see the padded
+    # remainder rows, where conv(gy) is nonzero near the edge)
+    m = (pre > 0).astype(jnp.float32) * _inbounds(th, tw, i * th, j * tw, h, w)
+    dxh = acc * m
+    dxr[:] = (dxh * sr[:]).reshape(1, th, tw, cd).astype(dxr.dtype)
+    statr[0] += (dxh * xv).sum(axis=(0, 1))
+    statr[1] += dxh.sum(axis=(0, 1))
+
+
+def _dgrad_fits(gy, xp):
+    """True when the dgrad tiling's x-tile reads stay inside the forward's
+    padded input (guaranteed when both tilings round up over the {64,32,16,8}
+    divisor ladder, but checked explicitly)."""
+    h, wd = gy.shape[1], gy.shape[2]
+    cg = _cpad(gy.shape[-1])
+    th, tw = _tiles_dgrad(cg, xp.shape[-1])
+    hp, wp = pl.cdiv(h, th) * th, pl.cdiv(wd, tw) * tw
+    return hp + 2 * HALO <= xp.shape[1] and wp + 2 * HALO <= xp.shape[2]
+
+
+def _pallas_dgrad_act(gy, wt, xp, in_scale, in_shift, c):
+    """dx (b, h, w, cd=xp channels) + stats (2, cd) = [ds, dt] for the in_act
+    chain backward. ``wt`` is the flipped/transposed forward kernel
+    (3, 3, co, c); its last dim is zero-padded to xp's channel count so the
+    x tiles, dx and the affine all live in the same padded channel space
+    (padded channels: s=1, t=0, x=0 -> pre=0 -> masked out)."""
+    b = gy.shape[0]
+    h, wd = gy.shape[1], gy.shape[2]
+    cg = _cpad(gy.shape[-1])
+    cd = xp.shape[-1]
+    th, tw = _tiles_dgrad(cg, cd)
+    nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
+    hp, wp = nh * th, nw * tw
+    gyp = jnp.pad(
+        gy,
+        ((0, 0), (HALO, hp - h + HALO), (HALO, wp - wd + HALO),
+         (0, cg - gy.shape[-1])),
+    )
+    wtp = jnp.pad(
+        wt, ((0, 0), (0, 0), (0, cg - wt.shape[2]), (0, cd - wt.shape[3]))
+    ).astype(gy.dtype)
+    isc = jnp.pad(
+        in_scale.astype(jnp.float32), (0, cd - c), constant_values=1.0
+    )
+    ish = jnp.pad(in_shift.astype(jnp.float32), (0, cd - c))
+    kern = functools.partial(
+        _dgrad_act_kernel, th=th, tw=tw, cd=cd, nh=nh, nw=nw, h=h, w=wd
+    )
+    dx, stats = pl.pallas_call(
+        kern,
+        grid=(b, nh, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, th, tw, cd), lambda bi, i, j: (bi, i, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((2, cd), lambda bi, i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hp, wp, cd), xp.dtype),
+            jax.ShapeDtypeStruct((2, cd), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2 * HALO, tw + 2 * HALO, cg), gy.dtype),
+            pltpu.VMEM((2, th, tw, cd), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * hp * wp * 9 * cg * cd,
+            bytes_accessed=gyp.size * 2 + b * hp * wp * cd * 2 * 2,
+            transcendentals=0,
+        ),
+    )(gyp, wtp, xp, isc, ish)
+    return dx[:, :h, :wd, :], stats
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +526,7 @@ def _pallas_wgrad_act(x, dy, in_scale, in_shift, in_act, c: int, xp=None):
     skips one full pad (read+write of the activation) per conv backward."""
     b, h, wd = dy.shape[0], dy.shape[1], dy.shape[2]
     co = dy.shape[-1]
-    cp = _round_up(c, 128)
+    cp = _cpad(c)
     th, tw = _tiles(cp, co)
     nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
     hp, wp = nh * th, nw * tw
@@ -442,7 +608,7 @@ def _wgrad_kernel(xr, dyr, dwr, xt, sem, *, th, tw, co, nh, nw):
 def _pallas_wgrad(x, dy):
     b, h, wd, c = x.shape
     co = dy.shape[-1]
-    cp = _round_up(c, 128)
+    cp = _cpad(c)
     th, tw = _tiles(cp, co)
     nh, nw = pl.cdiv(h, th), pl.cdiv(wd, tw)
     hp, wp = nh * th, nw * tw
@@ -596,7 +762,13 @@ def _cas_bwd(in_act, res, ct):
     ).astype(y.dtype)
     db = gy_tot.astype(jnp.float32).sum(axis=(0, 1, 2))
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
-    if _use_pallas(gy_tot, wt.shape[-1]):
+    # Tiny-output convs (co << cin, e.g. the SepHead final 320->64-padded-11)
+    # keep the XLA backward: its fused dgrad/wgrad beat both the plain Pallas
+    # bwd (+1.6 ms on the step) and the fused _pallas_dgrad_act (+3.1 ms) —
+    # measured round 3, /tmp A/Bs recorded in benchmarks/RESULTS.md. The
+    # Pallas bwd stays for the square chains (co == cin), where it won round 2.
+    tiny_out = w.shape[3] * 2 <= c
+    if _use_pallas(gy_tot, wt.shape[-1]) and not tiny_out:
         dxhat = _pallas_fwd(gy_tot, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
         dw = _pallas_wgrad_act(x if xp is None else None, gy_tot, s, t, in_act, c, xp=xp)
     else:
