@@ -192,3 +192,63 @@ def test_tta_predict_step():
     # output batch is B (averaged over the 4 variants)
     assert preds["box3d_lidar"].shape[0] == 2
     assert preds["scores"].shape == (2, TEST_CFG["nms"]["nms_post_max_size"])
+
+
+def test_sep_head_matches_reference_composition():
+    """SepHead's fused/chained layout == the reference's independent per-branch
+    [Conv3x3+bias -> BN -> ReLU -> Conv3x3+bias] stacks (center_head.py:65-110)
+    with grafted params, in BOTH modes. Guards the emit_raw chaining: the
+    branch conv's BN normalize+ReLU rides the final masked conv's input side
+    and must be mathematically identical to materializing it."""
+    from tdal.models.center_head import SepHead
+
+    heads = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2), "hm": (3, 2)}
+    outs = [heads[n][0] for n in heads]
+    mod = SepHead(heads, head_conv=8, final_kernel=3, init_bias=-2.19)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 12, 13, 16))
+    vs = mod.init({"params": key}, x, train=True)
+    params, stats = vs["params"], vs["batch_stats"]
+    # perturb so batch stats differ from init zeros/ones
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.05 * jnp.sign(jnp.sin(jnp.arange(p.size, dtype=jnp.float32)).reshape(p.shape)),
+        params,
+    )
+
+    def ref(x, train):
+        b = params["branch_convbn0"]
+        h = jax.lax.conv_general_dilated(
+            x, b["kernel"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b["conv_bias"]
+        bs = stats["branch_convbn0"]
+        if train:
+            mean = h.mean(axis=(0, 1, 2))
+            var = h.var(axis=(0, 1, 2))
+        else:
+            mean, var = bs["mean"], bs["var"]
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-3) * b["scale"] + b["bias"]
+        h = jax.nn.relu(h)
+        ys, ci, co = [], 0, 0
+        for c in outs:
+            blk = params["final_conv_kernel"][:, :, ci : ci + 8, co : co + c]
+            y = jax.lax.conv_general_dilated(
+                h[..., ci : ci + 8], blk, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + params["final_conv_bias"][co : co + c]
+            ys.append(y)
+            ci += 8
+            co += c
+        return jnp.concatenate(ys, -1)
+
+    for train in (True, False):
+        got = mod.apply(
+            {"params": params, "batch_stats": stats}, x, train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        got = got[0] if train else got
+        want = ref(x, train)
+        gcat = jnp.concatenate([got[n] for n in heads], -1)
+        np.testing.assert_allclose(
+            np.asarray(gcat), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
