@@ -115,6 +115,7 @@ class FusedConvBN(nn.Module):
     momentum: float = 0.99
     epsilon: float = 1e-3
     dtype: jnp.dtype = jnp.float32
+    bwd: str = "auto"  # TPU backward routing: auto | pallas | xla
 
     @nn.compact
     def __call__(self, x, train: bool = False, pre=None, emit_raw: bool = False):
@@ -172,7 +173,7 @@ class FusedConvBN(nn.Module):
         else:
             in_scale, in_shift = pre
         y, stats = conv3x3_act_stats(
-            xc, wc, cbias, in_scale, in_shift, pre is not None
+            xc, wc, cbias, in_scale, in_shift, pre is not None, self.bwd
         )
         n = float(np.prod(y.shape[:-1]))
         mean = stats[0] / n

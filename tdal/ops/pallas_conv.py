@@ -713,8 +713,8 @@ def _in_affine(x, s, t):
     ).astype(x.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
     """3x3 s1 SAME conv returning ``(y, stats)`` with stats = [sum y, sum y^2]
     per channel, computed in the SAME VMEM pass as the conv.
 
@@ -724,7 +724,10 @@ def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act):
     cross-layer BN restructure (ROADMAP item 3): the producing conv's BN
     stats come out of its own output pass, and its normalize rides the
     consuming conv's input side. The chip is HBM-bandwidth-bound, so cutting
-    the separate stats-read and normalize read+write passes is the win."""
+    the separate stats-read and normalize read+write passes is the win.
+
+    ``bwd``: backward-path routing on TPU — 'auto' (XLA for tiny-output convs
+    2*co <= cin, Pallas otherwise; measured round 3), 'pallas', or 'xla'."""
     if _use_pallas(x, w.shape[-1]):
         return _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act)
     xin = _in_affine(x, in_scale, in_shift) if in_act else x
@@ -734,7 +737,7 @@ def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act):
     return y, stats
 
 
-def _cas_fwd(x, w, bias, in_scale, in_shift, in_act):
+def _cas_fwd(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
     if _use_pallas(x, w.shape[-1]):
         y, stats, xp = _pallas_fwd_stats(
             x, w, bias, in_scale, in_shift, in_act, return_padded=True
@@ -743,11 +746,11 @@ def _cas_fwd(x, w, bias, in_scale, in_shift, in_act):
         # reads slice it (XLA fuses the slice into the elementwise consumers)
         res = (xp, None, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
         return (y, stats), res
-    y, stats = conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act)
+    y, stats = conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd)
     return (y, stats), (None, x, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
 
 
-def _cas_bwd(in_act, res, ct):
+def _cas_bwd(in_act, bwd, res, ct):
     xp, x, w, s, t, y, bmark = res
     c = w.shape[2]
     if xp is not None:
@@ -767,8 +770,9 @@ def _cas_bwd(in_act, res, ct):
     # bwd (+1.6 ms on the step) and the fused _pallas_dgrad_act (+3.1 ms) —
     # measured round 3, /tmp A/Bs recorded in benchmarks/RESULTS.md. The
     # Pallas bwd stays for the square chains (co == cin), where it won round 2.
-    tiny_out = w.shape[3] * 2 <= c
-    if _use_pallas(gy_tot, wt.shape[-1]) and not tiny_out:
+    # ``bwd`` overrides the heuristic per call site.
+    xla_bwd = bwd == "xla" or (bwd == "auto" and w.shape[3] * 2 <= c)
+    if _use_pallas(gy_tot, wt.shape[-1]) and not xla_bwd:
         dxhat = _pallas_fwd(gy_tot, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
         dw = _pallas_wgrad_act(x if xp is None else None, gy_tot, s, t, in_act, c, xp=xp)
     else:
