@@ -258,8 +258,13 @@ class CenterHead(nn.Module):
 
 
 def _gather_feat(feat, ind):
-    """feat (B, HW, C), ind (B, M) -> (B, M, C)."""
-    return jnp.take_along_axis(feat, ind[..., None], axis=1)
+    """feat (B, HW, C), ind (B, M) -> (B, M, C).
+
+    Formulated as per-batch ROW gathers: jnp.take_along_axis here lowers to a
+    sliced gather (slice_sizes=(B, M, 1)) which serializes on TPU — measured
+    4.1 ms fwd + 1.0 ms bwd per train step for 500-row gathers that should be
+    microseconds (benchmarks/trace_attr.py, the 'jvp()/gather' row)."""
+    return jax.vmap(lambda f, i: f[i])(feat, ind)
 
 
 def fast_focal_loss(out, target, ind, mask, cat):
@@ -271,9 +276,12 @@ def fast_focal_loss(out, target, ind, mask, cat):
     neg_loss = (jnp.log(1 - out) * jnp.power(out, 2) * gt).sum()
 
     flat = out.reshape(b, -1, out.shape[-1])
-    pos_pred = jnp.take_along_axis(
-        _gather_feat(flat, ind), cat[..., None], axis=2
-    )[..., 0]  # (B, M)
+    # class-select via one-hot contraction (a per-element take_along_axis
+    # lowers to another serialized sliced gather on TPU)
+    pos_all = _gather_feat(flat, ind)  # (B, M, C)
+    pos_pred = (
+        pos_all * jax.nn.one_hot(cat, out.shape[-1], dtype=pos_all.dtype)
+    ).sum(-1)  # (B, M)
     num_pos = mask.sum()
     pos_loss = (
         jnp.log(pos_pred) * jnp.power(1 - pos_pred, 2) * mask

@@ -166,8 +166,10 @@ def gather_object_points(pts, logits, n_pts: int, rng=None):
     slot = jnp.arange(n_pts)[None, :]  # (1, n_pts)
     denom = jnp.maximum(n_pos, 1)[:, None]
     take = jnp.where(slot < denom, slot, slot % denom)  # wraparound duplication
-    idx = jnp.take_along_axis(order, take, axis=1)  # (B, n_pts)
-    gathered = jnp.take_along_axis(pts, idx[..., None], axis=1)  # (B, n_pts, C)
+    # per-batch ROW gathers (take_along_axis lowers to a sliced gather that
+    # serializes on TPU; see center_head._gather_feat)
+    idx = jax.vmap(lambda o, t: o[t])(order, take)  # (B, n_pts)
+    gathered = jax.vmap(lambda p, i: p[i])(pts, idx)  # (B, n_pts, C)
     gathered = gathered * (n_pos > 0)[:, None, None]  # zero rows when no positives
     return gathered, mask
 
