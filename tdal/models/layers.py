@@ -269,6 +269,28 @@ class SubpixelDeconv(nn.Module):
         )
 
 
+class KSDeconv(nn.Module):
+    """k==s transposed conv through tdal.ops.deconv.ks_deconv (XLA forward +
+    dgrad, custom strided-slice MXU wgrad). Param tree matches
+    nn.ConvTranspose ("kernel", (s, s, cin, features))."""
+
+    features: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tdal.ops.deconv import ks_deconv
+
+        s = self.stride
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (s, s, x.shape[-1], self.features),
+        )
+        return ks_deconv(x.astype(self.dtype), kernel.astype(self.dtype), s)
+
+
 class DeconvBNReLU(nn.Module):
     """Transpose-conv upsample (or strided conv when stride < 1 is encoded as
     downsample=True) + BN + ReLU. Parity: RPN deblocks (necks/rpn.py:80-110)."""
@@ -299,14 +321,15 @@ class DeconvBNReLU(nn.Module):
             # (benchmarks/deconv_micro.py) but LOSES integrated — PP train step
             # 102.5 -> 106.3 ms, predict 34.3 -> 35.8 ms b2 — because XLA fuses
             # BN/ReLU into the transposed conv but not across the 6D transpose.
-            # Keep XLA's ConvTranspose here; SubpixelDeconv stays for layouts
-            # where the surrounding graph can't fuse anyway.
-            x = nn.ConvTranspose(
-                self.features,
-                (self.stride, self.stride),
-                strides=(self.stride, self.stride),
-                use_bias=False,
-                dtype=self.dtype,
+            # ks_deconv keeps XLA's conv_transpose forward (same lowering as
+            # nn.ConvTranspose -> epilogue fusion preserved) and its dgrad,
+            # replacing only the slow input-dilated WGRAD with s^2 strided-
+            # slice MXU contractions. Param tree matches nn.ConvTranspose.
+            # named ConvTranspose_0 so the param path (and checkpoints) stay
+            # identical to the nn.ConvTranspose it replaces
+            x = KSDeconv(
+                self.features, self.stride, dtype=self.dtype,
+                name="ConvTranspose_0",
             )(x)
         x = nn.BatchNorm(
             use_running_average=not train,
