@@ -36,16 +36,21 @@ class RPN(nn.Module):
         ups = []
         up_start = len(self.layer_nums) - len(self.us_num_filters)
         for i, n_layers in enumerate(self.layer_nums):
-            x = ConvBNReLU(
-                self.ds_num_filters[i],
-                stride=self.ds_layer_strides[i],
-                dtype=self.dtype,
-            )(x, train)
             # Chained trunk: each layer emits its RAW conv output + BN affine;
             # the normalize+ReLU is applied on the NEXT conv's input side in
             # VMEM (tdal.ops.pallas_conv.conv3x3_act_stats), so normalized
             # activations never round-trip HBM. One materialize per stage.
-            pre = None
+            # A stride-1 stage entry (stage 1 in the reference config) joins
+            # the chain; strided entries are nn.Conv and must materialize.
+            entry = ConvBNReLU(
+                self.ds_num_filters[i],
+                stride=self.ds_layer_strides[i],
+                dtype=self.dtype,
+            )
+            if self.ds_layer_strides[i] == 1:
+                x, pre = entry(x, train, emit_raw=True)
+            else:
+                x, pre = entry(x, train), None
             for _ in range(n_layers):
                 x, pre = ConvBNReLU(self.ds_num_filters[i], dtype=self.dtype)(
                     x, train, pre=pre, emit_raw=True
