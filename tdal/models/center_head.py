@@ -318,7 +318,10 @@ def center_head_loss(preds_dicts, targets, code_weights, weight: float = 2.0, ha
         if has_vel:
             parts.append(preds["vel"])
         else:
-            target_box = target_box[..., [0, 1, 2, 3, 4, 5, -2, -1]]
+            # two slices, not a fancy-index (which lowers to a gather)
+            target_box = jnp.concatenate(
+                [target_box[..., :6], target_box[..., -2:]], axis=-1
+            )
         parts.append(preds["rot"])
         anno_box_pred = jnp.concatenate(parts, axis=-1)
         box_loss = reg_loss(
