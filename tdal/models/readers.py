@@ -113,7 +113,10 @@ def scatter_to_bev(features, coords, valid, ny: int, nx: int):
     lin = coords[..., 1] * nx + coords[..., 2]  # y * nx + x
     lin = jnp.where(valid, lin, ny * nx)  # dropped
     canvas = jnp.zeros((b, ny * nx + 1, c), features.dtype)
-    canvas = jax.vmap(lambda cv, i, f: cv.at[i].set(f, mode="drop"))(
-        canvas, lin, features
-    )
+    # voxelize dedups cells, so live indices are UNIQUE (invalid rows all
+    # alias the drop slot, which .set may overwrite in any order — same
+    # result). Declaring uniqueness lets XLA vectorize the row scatter.
+    canvas = jax.vmap(
+        lambda cv, i, f: cv.at[i].set(f, mode="drop", unique_indices=True)
+    )(canvas, lin, features)
     return canvas[:, : ny * nx].reshape(b, ny, nx, c)
