@@ -63,7 +63,14 @@ def _xla_conv(x, w):
 
 def _tiles(cp, co):
     """Largest (th, tw=64) whose buffers fit the ~16MB VMEM budget:
-    2 input slots (th+16, 80, cp) bf16 + fp32 acc + 2 output slots + weights."""
+    2 input slots (th+16, 80, cp) bf16 + fp32 acc + 2 output slots + weights.
+
+    Negative result (do not retry without new evidence): a waste-aware tile
+    search that picks th minimizing rounded-up rows (e.g. 480 instead of 512
+    for h=468, saving 9.4% pad rows) models only ~3-6% traffic upside once
+    halo re-reads per extra tile row and pad-write savings are both counted,
+    while odd tile heights risk Mosaic layout cliffs — the fixed power-of-two
+    ladder stays."""
     tw = 64
     for th in (64, 32, 16, 8):
         need = (
