@@ -438,6 +438,12 @@ def measure_pipeline_e2e():
 
 def main():
     extra = []
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
 
     def guard(name, fn):
         try:
@@ -503,6 +509,7 @@ def main():
         json.dumps(
             {
                 "metric": "static_labeler_forward_sets_per_sec_b32_n512",
+                "backend": backend,
                 "value": round(value, 1),
                 "min": round(vmin, 1),
                 "max": round(vmax, 1),

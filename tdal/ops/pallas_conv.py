@@ -473,6 +473,18 @@ def _pallas_dgrad_act(gy, wt, xp, in_scale, in_shift, c):
 
 # ---------------------------------------------------------------------------
 # wgrad kernel: dw[ky,kx,ci,co] = sum_{b,h,w} x[b,h+ky-1,w+kx-1,ci] dy[b,h,w,co]
+#
+# Cost model for a COMBINED dgrad+wgrad kernel sharing the gy tile DMA
+# (ROADMAP lever, analyzed round 3): holding both halo'd gy and halo'd x
+# tiles plus the fp32 dx accumulator and the (3,3,cp,cg) dw accumulator
+# forces th 64->32 at the 128-channel shapes, raising halo read
+# amplification from 1.56x to 1.875x per stream. Total traffic per conv
+# backward: separate = 1.56(gy) + 1.0(dx write) + 1.56(xp) + 1.0(gy via
+# BlockSpec) = 5.12x vs combined = 1.875 + 1.875 + 1.0 = 4.75x — ~7% on the
+# ~2/3-backward share of the ~27 ms Pallas-conv step budget (~1.3 ms), with
+# Mosaic layout risk and grid-step doubling on top. Two prior fused-backward
+# attempts with the same "add an x DMA to save a pass" shape measured as net
+# losses (_pallas_dgrad_act header); not built.
 # ---------------------------------------------------------------------------
 
 
