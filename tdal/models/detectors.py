@@ -12,9 +12,10 @@ Both take raw padded points (B, N, D) so a single jit captures the whole forward
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from tdal.core.voxel import VoxelConfig, voxelize_batch
@@ -33,6 +34,10 @@ class PointPillars(nn.Module):
     rpn_us_strides: Sequence[int] = (1, 2, 4)
     rpn_us_filters: Sequence[int] = (128, 128, 128)
     with_velocity: bool = False
+    # Optional NamedSharding for the BEV canvas (parallel.mesh.spatial_sharding):
+    # spatially partitions the dense conv stack across the mesh via XLA SPMD
+    # (automatic halo exchange). None = sharding follows the inputs (pure DP).
+    bev_sharding: Any = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,6 +55,8 @@ class PointPillars(nn.Module):
         canvas = scatter_to_bev(
             feats * valid[..., None], coords, valid, ny, nx
         )
+        if self.bev_sharding is not None:
+            canvas = jax.lax.with_sharding_constraint(canvas, self.bev_sharding)
         x = RPN(
             layer_nums=tuple(self.rpn_layer_nums),
             ds_layer_strides=tuple(self.rpn_ds_strides),
@@ -97,6 +104,9 @@ class VoxelNet(nn.Module):
     # None = auto: gather-based sparse submanifold backbone when the dense grid
     # would be infeasible (> 2^24 cells), masked dense 3D convs otherwise.
     sparse_middle: bool = None
+    # Optional NamedSharding for the middle backbone's BEV output (see
+    # PointPillars.bev_sharding): spatially partitions the RPN + heads.
+    bev_sharding: Any = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -123,6 +133,8 @@ class VoxelNet(nn.Module):
             bev = MiddleBackbone(grid_size=(nz, ny, nx), dtype=self.dtype)(
                 feats * valid[..., None], coords, valid, train
             )
+        if self.bev_sharding is not None:
+            bev = jax.lax.with_sharding_constraint(bev, self.bev_sharding)
         x = RPN(
             layer_nums=tuple(self.rpn_layer_nums),
             ds_layer_strides=tuple(self.rpn_ds_strides),

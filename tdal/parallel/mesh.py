@@ -56,6 +56,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+SPATIAL_AXIS = "spatial"
+
+
+def spatial_sharding(
+    mesh: Mesh, batch_axis: Optional[str] = None, spatial_axis: str = SPATIAL_AXIS
+) -> NamedSharding:
+    """Sharding for an NHWC BEV canvas: H split over ``spatial_axis`` (and
+    optionally N over ``batch_axis``).
+
+    Passed to a detector's ``bev_sharding`` field, this spatially partitions
+    the dense BEV stack (RPN + heads) across the mesh: XLA's SPMD partitioner
+    splits every conv's spatial dim and inserts the 1-pixel halo exchanges
+    (collective-permute over ICI) itself — the scaling-book recipe, no manual
+    halos. This is how a SINGLE frame scales past one chip (latency scaling
+    for serving the production VoxelNet config), something the reference's
+    data-parallel-only design cannot express (SURVEY.md §2.8)."""
+    return NamedSharding(mesh, P(batch_axis, spatial_axis, None, None))
+
+
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
     """Device-put a host batch pytree with the batch dim sharded over ``axis``.
 
