@@ -77,6 +77,29 @@ def test_detector_train_and_test_cli(tmp_path):
     # evaluation artifacts (det_annos + proto fallback) were written
     assert (work / "eval" / "det_annos.pkl").exists()
 
+    # --spatial_shards: the BEV canvas is split over 4 devices (XLA SPMD halo
+    # exchange); predictions must match the unsharded run
+    _run_tool(
+        "dist_test",
+        [
+            str(cfg),
+            "--work_dir", str(work / "eval_sp"),
+            "--checkpoint", str(work / "checkpoints"),
+            "--info_path", str(tmp_path / "infos.pkl"),
+            "--batch_size", "2",
+            "--spatial_shards", "4",
+        ],
+    )
+    with open(work / "eval_sp" / "prediction.pkl", "rb") as f:
+        sp_preds = pickle.load(f)
+    for tok, d in preds.items():
+        np.testing.assert_allclose(
+            d["box3d_lidar"], sp_preds[tok]["box3d_lidar"], rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            d["scores"], sp_preds[tok]["scores"], rtol=1e-4, atol=1e-4
+        )
+
 
 def test_two_stage_train_and_test_cli(tmp_path):
     infos, scenes = make_synthetic_dataset(

@@ -48,6 +48,10 @@ def parse_args():
     parser.add_argument("--evaluate", action="store_true", help="write det_annos/proto")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of middle batches")
+    parser.add_argument("--spatial_shards", type=int, default=1,
+                        help="split the BEV canvas H over N devices (XLA SPMD "
+                             "spatial conv partitioning with automatic halo "
+                             "exchange; single-frame latency scaling)")
     return parser.parse_args()
 
 
@@ -70,6 +74,19 @@ def main():
 
         engine = build_two_stage_engine(cfg.model, voxel_cfg, test_cfg)
         detector = engine.first
+    if args.spatial_shards > 1:
+        from tdal.parallel.mesh import make_mesh, spatial_sharding
+
+        sp_mesh = make_mesh(
+            axis_names=("spatial",), axis_sizes=(args.spatial_shards,),
+            devices=jax.devices()[: args.spatial_shards],
+        )
+        detector = detector.copy(bev_sharding=spatial_sharding(sp_mesh))
+        if two_stage:
+            engine.first = detector
+        logger.info(
+            f"spatial partitioning: BEV canvas H over {args.spatial_shards} devices"
+        )
     assigner = build_assigner(cfg.train_cfg["assigner"], detector)
 
     split_key = "train" if args.split in ("train", "mytrain") else "val"
