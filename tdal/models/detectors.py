@@ -24,6 +24,16 @@ from tdal.models.readers import PillarFeatureNet, VoxelMeanEncoder, scatter_to_b
 from tdal.models.rpn import RPN
 
 
+def _conv_backend(bev_sharding):
+    """XLA convs when the BEV stack is spatially sharded (the SPMD partitioner
+    cannot split an opaque pallas_call); Pallas train kernels otherwise."""
+    import contextlib
+
+    from tdal.ops.pallas_conv import xla_only
+
+    return xla_only() if bev_sharding is not None else contextlib.nullcontext()
+
+
 class PointPillars(nn.Module):
     voxel_cfg: VoxelConfig
     tasks: Sequence[dict]
@@ -57,20 +67,21 @@ class PointPillars(nn.Module):
         )
         if self.bev_sharding is not None:
             canvas = jax.lax.with_sharding_constraint(canvas, self.bev_sharding)
-        x = RPN(
-            layer_nums=tuple(self.rpn_layer_nums),
-            ds_layer_strides=tuple(self.rpn_ds_strides),
-            ds_num_filters=tuple(self.rpn_ds_filters),
-            us_layer_strides=tuple(self.rpn_us_strides),
-            us_num_filters=tuple(self.rpn_us_filters),
-            dtype=self.dtype,
-        )(canvas, train)
-        common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
-        if self.with_velocity:
-            common["vel"] = (2, 2)
-        preds = CenterHead(
-            tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
-        )(x, train)
+        with _conv_backend(self.bev_sharding):
+            x = RPN(
+                layer_nums=tuple(self.rpn_layer_nums),
+                ds_layer_strides=tuple(self.rpn_ds_strides),
+                ds_num_filters=tuple(self.rpn_ds_filters),
+                us_layer_strides=tuple(self.rpn_us_strides),
+                us_num_filters=tuple(self.rpn_us_filters),
+                dtype=self.dtype,
+            )(canvas, train)
+            common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
+            if self.with_velocity:
+                common["vel"] = (2, 2)
+            preds = CenterHead(
+                tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
+            )(x, train)
         if return_feature:
             return preds, x
         return preds
@@ -135,20 +146,21 @@ class VoxelNet(nn.Module):
             )
         if self.bev_sharding is not None:
             bev = jax.lax.with_sharding_constraint(bev, self.bev_sharding)
-        x = RPN(
-            layer_nums=tuple(self.rpn_layer_nums),
-            ds_layer_strides=tuple(self.rpn_ds_strides),
-            ds_num_filters=tuple(self.rpn_ds_filters),
-            us_layer_strides=tuple(self.rpn_us_strides),
-            us_num_filters=tuple(self.rpn_us_filters),
-            dtype=self.dtype,
-        )(bev, train)
-        common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
-        if self.with_velocity:
-            common["vel"] = (2, 2)
-        preds = CenterHead(
-            tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
-        )(x, train)
+        with _conv_backend(self.bev_sharding):
+            x = RPN(
+                layer_nums=tuple(self.rpn_layer_nums),
+                ds_layer_strides=tuple(self.rpn_ds_strides),
+                ds_num_filters=tuple(self.rpn_ds_filters),
+                us_layer_strides=tuple(self.rpn_us_strides),
+                us_num_filters=tuple(self.rpn_us_filters),
+                dtype=self.dtype,
+            )(bev, train)
+            common = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
+            if self.with_velocity:
+                common["vel"] = (2, 2)
+            preds = CenterHead(
+                tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
+            )(x, train)
         if return_feature:
             return preds, x
         return preds

@@ -22,6 +22,7 @@ weights (exact for stride-1 SAME); wgrad is a second kernel accumulating the
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -30,6 +31,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 8  # DMA slice offsets stay 8-aligned; >= the 1-pixel conv halo
+
+# Trace-time switch: under spatial partitioning the conv stack must stay in
+# XLA ops (the SPMD partitioner cannot split an opaque pallas_call — it would
+# force a full gather). Models set this via xla_only() around their sharded
+# region; the choice is baked into the trace, and since it is driven by a
+# static module field (detectors.bev_sharding) the jit cache stays coherent.
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def xla_only():
+    """Route conv3x3_* through XLA (not Pallas) for ops traced inside."""
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
 
 
 def _round_up(n, m):
@@ -47,7 +67,8 @@ def _cpad(c):
 
 def _use_pallas(x, co):
     return (
-        jax.default_backend() == "tpu"
+        not _FORCE_XLA
+        and jax.default_backend() == "tpu"
         and x.dtype == jnp.bfloat16
         and co % 64 == 0
         and x.shape[1] >= 32

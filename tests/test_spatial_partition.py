@@ -109,6 +109,47 @@ def test_dp_sp_mixed_mesh_predict():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sp_train_step_matches_unsharded():
+    """One SP train step == one unsharded train step (loss, grads-through-
+    update, BN stats): the conv stack runs in XLA ops under SP (the xla_only
+    route — a pallas_call cannot be SPMD-partitioned), and XLA inserts the BN
+    stat reductions over the sharded canvas itself."""
+    batch = _batch(2)
+    key = jax.random.PRNGKey(0)
+
+    def one_step(det, b):
+        params, bs = init_model(det, {"params": key}, b["points"])
+        # SGD(1.0): the param delta IS the gradient, so grads compare with a
+        # plain atol. (Adam's first-step sign normalization amplifies the
+        # +-eps reduction-order noise of theoretically-zero grads to +-lr.)
+        state = TrainState.create(params, optax.sgd(1.0), bs)
+        train_step, _ = make_detector_steps(det, TEST_CFG, [1.0] * 8, donate=False)
+        new_state, logs = train_step(state, b)
+        return new_state, logs
+
+    ref_state, ref_logs = one_step(_detector(), batch)
+
+    mesh = make_mesh(axis_names=("spatial",), axis_sizes=(8,),
+                     devices=jax.devices()[:8])
+    sp_state, sp_logs = one_step(_detector(spatial_sharding(mesh)), batch)
+
+    np.testing.assert_allclose(
+        float(ref_logs["loss"]), float(sp_logs["loss"]), rtol=1e-5
+    )
+    flat_ref = jax.tree_util.tree_leaves(ref_state.params)
+    flat_sp = jax.tree_util.tree_leaves(sp_state.params)
+    # atol 5e-5 = 50 ulps of reduction-order noise on theoretically-zero
+    # grads (fp32 sums over a canvas split 8 ways sum in a different order)
+    for a, b in zip(flat_ref, flat_sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+        jax.tree_util.tree_leaves(sp_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sp_program_is_actually_partitioned():
     """The compiled SP program must hold the canvas SHARDED (per-device conv
     input is a 1/8 H-slice), not silently all-gather everything."""
