@@ -42,7 +42,14 @@ _FORCE_XLA = False
 
 @contextlib.contextmanager
 def xla_only():
-    """Route conv3x3_* through XLA (not Pallas) for ops traced inside."""
+    """Route conv3x3_* through XLA (not Pallas) for ops traced inside.
+
+    The public conv ops capture the flag STATICALLY at call time (as a
+    nondiff argument of their custom_vjp), because a custom_vjp backward is
+    traced during grad transposition — AFTER the ``with`` block has exited —
+    so reading the global there would re-enable Pallas in the backward of a
+    spatially-partitioned step (regression: tests/test_spatial_partition.py
+    ::test_xla_only_pins_the_backward_route)."""
     global _FORCE_XLA
     prev = _FORCE_XLA
     _FORCE_XLA = True
@@ -690,25 +697,24 @@ def _pallas_wgrad(x, dy):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def conv3x3_bias(x, w, bias):
-    """3x3 stride-1 SAME NHWC conv + bias. x (B,H,W,C), w (3,3,C,Co), bias (Co,)."""
-    if _use_pallas(x, w.shape[-1]):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv3x3_bias(x, w, bias, force_xla):
+    if _use_pallas(x, w.shape[-1]) and not force_xla:
         return _pallas_fwd(x, w, bias)
     return _xla_conv(x, w) + bias.astype(x.dtype)
 
 
-def _conv_fwd(x, w, bias):
+def _conv_fwd(x, w, bias, force_xla):
     # zero-size marker carries the bias dtype (dtypes aren't pytree leaves)
-    return conv3x3_bias(x, w, bias), (x, w, jnp.zeros((0,), bias.dtype))
+    return _conv3x3_bias(x, w, bias, force_xla), (x, w, jnp.zeros((0,), bias.dtype))
 
 
-def _conv_bwd(res, g):
+def _conv_bwd(force_xla, res, g):
     x, w, bdt = res
     # dgrad: stride-1 SAME conv of dy with flipped/transposed weights
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)
     db = g.astype(jnp.float32).sum(axis=(0, 1, 2))
-    if _use_pallas(g, wt.shape[-1]):
+    if _use_pallas(g, wt.shape[-1]) and not force_xla:
         dx = _pallas_fwd(g, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
         dw = _pallas_wgrad(x, g)
     else:
@@ -722,7 +728,16 @@ def _conv_bwd(res, g):
     return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(bdt.dtype)
 
 
-conv3x3_bias.defvjp(_conv_fwd, _conv_bwd)
+_conv3x3_bias.defvjp(_conv_fwd, _conv_bwd)
+
+
+def conv3x3_bias(x, w, bias):
+    """3x3 stride-1 SAME NHWC conv + bias. x (B,H,W,C), w (3,3,C,Co), bias (Co,).
+
+    The Pallas/XLA route is resolved HERE (trace time, inside any xla_only()
+    block) and baked into the custom_vjp as a static argument so forward and
+    backward always take the same route."""
+    return _conv3x3_bias(x, w, bias, _FORCE_XLA)
 
 
 def conv3x3(x, w):
@@ -754,20 +769,7 @@ def _in_affine(x, s, t):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
-    """3x3 s1 SAME conv returning ``(y, stats)`` with stats = [sum y, sum y^2]
-    per channel, computed in the SAME VMEM pass as the conv.
-
-    With ``in_act=True`` the previous layer's BatchNorm normalize + ReLU
-    (per-channel ``in_scale``/``in_shift``) is applied to the input tiles in
-    VMEM — the normalized activation never exists in HBM. This is the
-    cross-layer BN restructure (ROADMAP item 3): the producing conv's BN
-    stats come out of its own output pass, and its normalize rides the
-    consuming conv's input side. The chip is HBM-bandwidth-bound, so cutting
-    the separate stats-read and normalize read+write passes is the win.
-
-    ``bwd``: backward-path routing on TPU — 'auto' (XLA for tiny-output convs
-    2*co <= cin, Pallas otherwise; measured round 3), 'pallas', or 'xla'."""
+def _conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
     if _use_pallas(x, w.shape[-1]):
         return _pallas_fwd_stats(x, w, bias, in_scale, in_shift, in_act)
     xin = _in_affine(x, in_scale, in_shift) if in_act else x
@@ -786,7 +788,7 @@ def _cas_fwd(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
         # reads slice it (XLA fuses the slice into the elementwise consumers)
         res = (xp, None, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
         return (y, stats), res
-    y, stats = conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd)
+    y, stats = _conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd)
     return (y, stats), (None, x, w, in_scale, in_shift, y, jnp.zeros((0,), bias.dtype))
 
 
@@ -812,7 +814,10 @@ def _cas_bwd(in_act, bwd, res, ct):
     # Pallas bwd stays for the square chains (co == cin), where it won round 2.
     # ``bwd`` overrides the heuristic per call site.
     xla_bwd = bwd == "xla" or (bwd == "auto" and w.shape[3] * 2 <= c)
-    if _use_pallas(gy_tot, wt.shape[-1]) and not xla_bwd:
+    # xp is the fwd-route marker: Pallas backward only when the forward ran
+    # the Pallas kernel (ties the backward to the route captured at call
+    # time — the _FORCE_XLA global is stale by backward-trace time)
+    if xp is not None and _use_pallas(gy_tot, wt.shape[-1]) and not xla_bwd:
         dxhat = _pallas_fwd(gy_tot, wt, jnp.zeros((wt.shape[-1],), jnp.float32))
         dw = _pallas_wgrad_act(x if xp is None else None, gy_tot, s, t, in_act, c, xp=xp)
     else:
@@ -842,4 +847,25 @@ def _cas_bwd(in_act, bwd, res, ct):
     )
 
 
-conv3x3_act_stats.defvjp(_cas_fwd, _cas_bwd)
+_conv3x3_act_stats.defvjp(_cas_fwd, _cas_bwd)
+
+
+def conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd="auto"):
+    """3x3 s1 SAME conv returning ``(y, stats)`` with stats = [sum y, sum y^2]
+    per channel, computed in the SAME VMEM pass as the conv.
+
+    With ``in_act=True`` the previous layer's BatchNorm normalize + ReLU
+    (per-channel ``in_scale``/``in_shift``) is applied to the input tiles in
+    VMEM — the normalized activation never exists in HBM. This is the
+    cross-layer BN restructure (ROADMAP item 3): the producing conv's BN
+    stats come out of its own output pass, and its normalize rides the
+    consuming conv's input side. The chip is HBM-bandwidth-bound, so cutting
+    the separate stats-read and normalize read+write passes is the win.
+
+    ``bwd``: backward-path routing on TPU — 'auto' (XLA for tiny-output convs
+    2*co <= cin, Pallas otherwise; measured round 3), 'pallas', or 'xla'.
+    Under xla_only() the route is pinned to XLA here, at trace time, because
+    the custom_vjp backward is traced after the ``with`` block exits."""
+    if _FORCE_XLA:
+        bwd = "xla"
+    return _conv3x3_act_stats(x, w, bias, in_scale, in_shift, in_act, bwd)

@@ -149,6 +149,44 @@ def test_sp_train_step_matches_unsharded():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def test_xla_only_pins_the_backward_route(monkeypatch):
+    """A custom_vjp backward is traced during grad transposition — AFTER the
+    ``with xla_only()`` block has exited — so the Pallas/XLA route must be
+    captured statically at call time. If it is read from the global at
+    backward-trace time instead, the SP train step's backward re-emits
+    pallas_calls, which the SPMD partitioner cannot split (it would all-gather
+    the sharded canvas). Invisible on CPU, where _use_pallas is always False:
+    simulate the TPU predicate with a monkeypatch and inspect the jaxpr."""
+    from tdal.ops import pallas_conv as pc
+
+    monkeypatch.setattr(pc, "_use_pallas", lambda x, co: not pc._FORCE_XLA)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 8, 8)) * 0.1, jnp.float32)
+    b = jnp.zeros((8,), jnp.float32)
+    s = jnp.ones((8,), jnp.float32)
+    t = jnp.zeros((8,), jnp.float32)
+
+    def loss_sharded(x, w):
+        with pc.xla_only():
+            y, st = pc.conv3x3_act_stats(x, w, b, s, t, True)
+            z = pc.conv3x3_bias(y, w, b)
+        return (z.astype(jnp.float32) ** 2).sum() + st.sum()
+
+    jaxpr = jax.make_jaxpr(jax.grad(loss_sharded, argnums=(0, 1)))(x, w)
+    assert "pallas" not in str(jaxpr), "Pallas op traced under xla_only()"
+
+    def loss_plain(x, w):
+        y, st = pc.conv3x3_act_stats(x, w, b, s, t, True)
+        z = pc.conv3x3_bias(y, w, b)
+        return (z.astype(jnp.float32) ** 2).sum() + st.sum()
+
+    # sanity: the patched predicate does route to Pallas outside the block
+    jaxpr2 = jax.make_jaxpr(jax.grad(loss_plain, argnums=(0, 1)))(x, w)
+    assert "pallas" in str(jaxpr2)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sp_program_is_actually_partitioned():
     """The compiled SP program must hold the canvas SHARDED (per-device conv
