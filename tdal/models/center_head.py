@@ -132,9 +132,13 @@ class SepHead(nn.Module):
                     # its input side (emit_raw chain).
                     from tdal.models.layers import FusedConvBN
 
+                    # head BNs are plain nn.BatchNorm2d in the reference
+                    # (center_head.py:88,212): DEFAULT eps 1e-5 / momentum 0.1
+                    # (-> flax 0.9), unlike the RPN's norm_cfg 1e-3/0.01.
+                    # Pinned by tests/test_torch_parity_detector.py.
                     mod = FusedConvBN(
-                        hc * g, use_bias=True, dtype=self.dtype,
-                        name=f"branch_convbn{d}",
+                        hc * g, use_bias=True, momentum=0.9, epsilon=1e-5,
+                        dtype=self.dtype, name=f"branch_convbn{d}",
                     )
                     if depth == 2:
                         h, fpre = mod(h, train, pre=pre, emit_raw=True)
@@ -158,7 +162,7 @@ class SepHead(nn.Module):
                         h, [hc] * g, [hc] * g, [0.0] * g, f"branch_conv{d}", train
                     )
                 h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype, name=f"branch_bn{d}",
                 )(h)
                 h = nn.relu(h)
@@ -200,7 +204,7 @@ class SepHead(nn.Module):
                     dtype=self.dtype,
                 )(h)
                 h = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype,
                 )(h)
                 h = nn.relu(h)
@@ -237,8 +241,11 @@ class CenterHead(nn.Module):
         # emit_raw chain: the shared conv's BN normalize+ReLU is applied on
         # each SepHead's first conv input side (re-computed per task in VMEM
         # instead of materializing the normalized canvas in HBM once).
+        # shared conv BN is a default nn.BatchNorm2d in the reference
+        # (center_head.py:212): eps 1e-5, momentum 0.1 -> flax 0.9
         x, pre = FusedConvBN(
-            self.share_conv_channel, use_bias=True, dtype=self.dtype
+            self.share_conv_channel, use_bias=True, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype,
         )(x, train, emit_raw=True)
         rets = []
         for task in self.tasks:

@@ -214,11 +214,17 @@ class ConvBNReLU(nn.Module):
             )(x, train, pre=pre, emit_raw=emit_raw)
         assert pre is None and not emit_raw, "chaining needs the 3x3/s1 fused path"
 
+        # Explicit symmetric padding k//2 (not "SAME"): the reference's strided
+        # stage entry is ZeroPad2d(1) + Conv(stride, pad=0) (necks/rpn.py:126),
+        # whose windows center on EVEN input pixels; "SAME" at stride 2 pads
+        # (0, 1) and shifts every downsampled feature by one input pixel.
+        # Identical for stride 1. Pinned by tests/test_torch_parity_detector.py.
+        p = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((p, p), (p, p)),
             use_bias=self.use_bias,
             dtype=self.dtype,
         )(x)

@@ -227,7 +227,9 @@ def test_sep_head_matches_reference_composition():
             var = h.var(axis=(0, 1, 2))
         else:
             mean, var = bs["mean"], bs["var"]
-        h = (h - mean) * jax.lax.rsqrt(var + 1e-3) * b["scale"] + b["bias"]
+        # head BNs carry the reference's nn.BatchNorm2d DEFAULT eps 1e-5
+        # (center_head.py:88), pinned by tests/test_torch_parity_detector.py
+        h = (h - mean) * jax.lax.rsqrt(var + 1e-5) * b["scale"] + b["bias"]
         h = jax.nn.relu(h)
         ys, ci, co = [], 0, 0
         for c in outs:

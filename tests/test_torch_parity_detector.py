@@ -1,0 +1,819 @@
+"""Weight-graft parity for the DETECTOR trunk against the reference torch code.
+
+Extends tests/test_torch_parity.py (labelers + losses) to the detection stack:
+import the reference's own ``det3d/models/necks/rpn.py`` and
+``det3d/models/bbox_heads/center_head.py`` under CPU torch, graft the SAME
+weights + BN running stats into tdal's flax RPN / CenterHead, and assert the
+eval-mode forwards agree in fp32. This pins, against the reference's own code:
+
+- the RPN block structure (strided stage entry = ZeroPad2d(1) + valid conv —
+  the alignment tdal mirrors with explicit k//2 padding, layers.ConvBNReLU),
+- transpose-conv deblock semantics (torch ConvTranspose2d vs lax.conv_transpose
+  kernel mirroring, ops/deconv.ks_deconv) and the 1x1-conv stride-1 deblock,
+- BN folding (eps 1e-3) through FusedConvBN's eval path and the emit_raw chain,
+- CenterHead's shared conv + SepHead branches, including tdal's branch-fused
+  dense first conv and block-diagonal final conv being exactly the reference's
+  independent per-branch convs (center_head.py:65-110), and the hm bias slice.
+
+Reference import harness mirrors test_torch_parity.py: det3d loads as hollow
+packages (real __path__, __init__.py never executed — it pulls spconv/apex);
+light leaf modules (registry, builder, centernet_loss, box_torch_ops) load for
+real; torchie.cnn's weight inits load from the real weight_init.py; torchvision
+(absent from the image) and the trainer checkpoint loader are stubbed.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_torch_parity import _load_file, _stub_module, _stub_package  # noqa: E402
+
+REF_ROOT = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not REF_ROOT.exists(), reason="reference checkout not available"
+)
+
+_STUB_KEYS = (
+    "det3d.models.readers",
+    "det3d.models.readers.pillar_encoder",
+    "det3d.models.roi_heads",
+    "det3d.models.roi_heads.roi_head",
+    "det3d.models.roi_heads.roi_head_template",
+    "det3d.models.roi_heads.target_assigner",
+    "det3d.models.roi_heads.target_assigner.proposal_target_layer",
+    "det3d.core.bbox",
+    "det3d.core.bbox.geometry",
+    "det3d.core.bbox.box_np_ops",
+    "det3d.ops",
+    "det3d.ops.iou3d_nms",
+    "det3d.ops.iou3d_nms.iou3d_nms_utils",
+    "torchvision",
+    "torchvision.models",
+    "numba",
+    "det3d",
+    "det3d.utils",
+    "det3d.models",
+    "det3d.models.necks",
+    "det3d.models.necks.rpn",
+    "det3d.models.bbox_heads",
+    "det3d.models.bbox_heads.center_head",
+    "det3d.models.losses",
+    "det3d.models.utils",
+    "det3d.models.registry",
+    "det3d.models.builder",
+    "det3d.core",
+    "det3d.core.utils",
+    "det3d.core.box_torch_ops",
+    "det3d.torchie",
+    "det3d.torchie.cnn",
+    "det3d.torchie.trainer",
+    "_ref_weight_init",
+)
+
+
+class _MiniRegistry:
+    def __init__(self, name):
+        self.name = name
+        self.module_dict = {}
+
+    def register_module(self, cls):
+        self.module_dict[cls.__name__] = cls
+        return cls
+
+
+@pytest.fixture(scope="module")
+def refdet():
+    saved = {k: sys.modules.get(k) for k in _STUB_KEYS}
+    orig_t_cuda = torch.Tensor.cuda
+    orig_m_cuda = torch.nn.Module.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    try:
+        tv = _stub_module("torchvision")
+        tv.models = _stub_module("torchvision.models", resnet=None)
+        def _passthrough_jit(*a, **k):
+            # handles both bare @numba.njit and parameterized @numba.jit(...)
+            if len(a) == 1 and callable(a[0]) and not k:
+                return a[0]
+            return lambda f: f
+
+        _stub_module("numba", jit=_passthrough_jit, njit=_passthrough_jit)
+
+        _stub_package("det3d", REF_ROOT / "det3d")
+        _stub_package("det3d.models", REF_ROOT / "det3d/models")
+        _stub_package("det3d.models.necks", REF_ROOT / "det3d/models/necks")
+        _stub_package("det3d.models.bbox_heads", REF_ROOT / "det3d/models/bbox_heads")
+        _stub_package("det3d.models.losses", REF_ROOT / "det3d/models/losses")
+        core = _stub_package("det3d.core", REF_ROOT / "det3d/core")
+        _stub_package("det3d.core.utils", REF_ROOT / "det3d/core/utils")
+        _stub_module(
+            "det3d.utils",
+            Registry=_MiniRegistry,
+            build_from_cfg=lambda *a, **k: None,
+        )
+        _stub_module("det3d.torchie")
+        wi = _load_file("_ref_weight_init", REF_ROOT / "det3d/torchie/cnn/weight_init.py")
+        _stub_module(
+            "det3d.torchie.cnn",
+            constant_init=wi.constant_init,
+            kaiming_init=wi.kaiming_init,
+            xavier_init=wi.xavier_init,
+        )
+        _stub_module("det3d.torchie.trainer", load_checkpoint=lambda *a, **k: None)
+
+        class Sequential(torch.nn.Sequential):
+            def add(self, *mods):
+                for m in mods:
+                    self.add_module(str(len(self)), m)
+
+        def build_norm_layer(cfg, num_features, postfix=""):
+            # real semantics for BN types (det3d/models/utils/norm.py:67-108)
+            cfg_ = dict(cfg)
+            layer = {"BN": torch.nn.BatchNorm2d, "BN1d": torch.nn.BatchNorm1d}[
+                cfg_.pop("type")
+            ]
+            cfg_.pop("requires_grad", None)
+            cfg_.setdefault("eps", 1e-5)
+            return "bn" + str(postfix), layer(num_features, **cfg_)
+
+        def get_paddings_indicator(actual_num, max_num, axis=0):
+            # real semantics (det3d/models/utils/misc.py:180-200)
+            actual_num = torch.unsqueeze(actual_num, axis + 1)
+            max_num_shape = [1] * len(actual_num.shape)
+            max_num_shape[axis + 1] = -1
+            max_num = torch.arange(max_num, dtype=torch.int).view(max_num_shape)
+            return actual_num.int() > max_num
+
+        _stub_module(
+            "det3d.models.utils",
+            Empty=None,
+            GroupNorm=None,
+            Sequential=Sequential,
+            change_default_args=None,
+            build_norm_layer=build_norm_layer,
+            get_paddings_indicator=get_paddings_indicator,
+        )
+        core.box_torch_ops = _load_file(
+            "det3d.core.box_torch_ops", REF_ROOT / "det3d/core/bbox/box_torch_ops.py"
+        )
+        rpn_mod = _load_file(
+            "det3d.models.necks.rpn", REF_ROOT / "det3d/models/necks/rpn.py"
+        )
+        ch_mod = _load_file(
+            "det3d.models.bbox_heads.center_head",
+            REF_ROOT / "det3d/models/bbox_heads/center_head.py",
+        )
+        _stub_package("det3d.models.readers", REF_ROOT / "det3d/models/readers")
+        pe_mod = _load_file(
+            "det3d.models.readers.pillar_encoder",
+            REF_ROOT / "det3d/models/readers/pillar_encoder.py",
+        )
+        # RoIHead: iou3d CUDA util is imported UNGUARDED by the proposal
+        # target layer -> stub; roi_head_template's `from det3d.core.bbox
+        # import box_torch_ops` resolves to the loaded real module
+        _stub_module("det3d.core.bbox", box_torch_ops=core.box_torch_ops)
+        _stub_module("det3d.ops")
+        _stub_module("det3d.ops.iou3d_nms")
+        _stub_module("det3d.ops.iou3d_nms.iou3d_nms_utils", boxes_iou3d_gpu=None)
+        _stub_package("det3d.models.roi_heads", REF_ROOT / "det3d/models/roi_heads")
+        _stub_package(
+            "det3d.models.roi_heads.target_assigner",
+            REF_ROOT / "det3d/models/roi_heads/target_assigner",
+        )
+        roi_mod = _load_file(
+            "det3d.models.roi_heads.roi_head",
+            REF_ROOT / "det3d/models/roi_heads/roi_head.py",
+        )
+        # pure-numpy geometry (numba stubbed to pass-through): load the
+        # real polygon test first — box_np_ops imports it as a sibling
+        _load_file(
+            "det3d.core.bbox.geometry", REF_ROOT / "det3d/core/bbox/geometry.py"
+        )
+        bnp_mod = _load_file(
+            "det3d.core.bbox.box_np_ops", REF_ROOT / "det3d/core/bbox/box_np_ops.py"
+        )
+        yield types.SimpleNamespace(
+            rpn=rpn_mod, center_head=ch_mod, pillar=pe_mod, roi=roi_mod,
+            box_np_ops=bnp_mod,
+        )
+    finally:
+        torch.Tensor.cuda = orig_t_cuda
+        torch.nn.Module.cuda = orig_m_cuda
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+# ---------------------------------------------------------------------------
+# graft helpers
+# ---------------------------------------------------------------------------
+
+
+def _conv_w(m):  # torch Conv2d (Co, Ci, kh, kw) -> flax (kh, kw, Ci, Co)
+    return np.asarray(m.weight.detach().numpy(), np.float32).transpose(2, 3, 1, 0)
+
+
+def _deconv_w(m):
+    """torch ConvTranspose2d (Ci, Co, kh, kw) -> lax.conv_transpose HWIO.
+
+    lax.conv_transpose runs a FORWARD conv over the zero-dilated input, i.e.
+    it reads the kernel spatially mirrored relative to torch's scatter
+    formulation (output offset (u, v) reads w[k-1-u, k-1-v]; see
+    tdal/ops/deconv.py) — so the graft flips both spatial axes."""
+    w = np.asarray(m.weight.detach().numpy(), np.float32).transpose(2, 3, 0, 1)
+    return w[::-1, ::-1]
+
+
+def _bn(m):
+    return dict(
+        scale=np.asarray(m.weight.detach().numpy(), np.float32),
+        bias=np.asarray(m.bias.detach().numpy(), np.float32),
+        mean=np.asarray(m.running_mean.numpy(), np.float32),
+        var=np.asarray(m.running_var.numpy(), np.float32),
+    )
+
+
+def _set(tree, path, val):
+    d = tree
+    for k in path[:-1]:
+        assert k in d, (path, list(d.keys()))
+        d = d[k]
+    assert path[-1] in d, (path, list(d.keys()))
+    cur = np.asarray(d[path[-1]])
+    val = np.asarray(val, np.float32)
+    assert cur.shape == val.shape, (path, cur.shape, val.shape)
+    d[path[-1]] = jnp.asarray(val)
+
+
+def _randomize_torch(model, seed):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+                m.weight.normal_(0, 0.1, generator=g)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.1, generator=g)
+            elif isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.normal_(0, 0.1, generator=g)
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    model.eval()
+
+
+# ---------------------------------------------------------------------------
+# RPN
+# ---------------------------------------------------------------------------
+
+RPN_CFG = dict(
+    layer_nums=(1, 2),
+    ds_layer_strides=(1, 2),
+    ds_num_filters=(16, 32),
+    us_layer_strides=(1, 2),
+    us_num_filters=(16, 16),
+)
+RPN_CIN = 16
+
+
+def _graft_rpn(ref_rpn, params, bstats):
+    """Reference blocks[i] = Sequential(ZeroPad2d, Conv, BN, ReLU, [Conv, BN,
+    ReLU] * layer_nums[i]); deblocks[j] = Sequential(ConvTranspose2d|Conv2d,
+    BN, ReLU). tdal names: ConvBNReLU_<k> (FusedConvBN_0 inside when s=1,
+    Conv_0 + BatchNorm_0 when strided), DeconvBNReLU_<j> (ConvTranspose_0 |
+    Conv_0, + BatchNorm_0), in instantiation order."""
+    n_conv = 0
+    up_start = len(RPN_CFG["layer_nums"]) - len(RPN_CFG["us_num_filters"])
+    for i, n_layers in enumerate(RPN_CFG["layer_nums"]):
+        block = ref_rpn.blocks[i]
+        # [0]=ZeroPad2d [1]=Conv [2]=BN [3]=ReLU then triplets
+        stride = RPN_CFG["ds_layer_strides"][i]
+        name = f"ConvBNReLU_{n_conv}"
+        bn = _bn(block[2])
+        if stride == 1:
+            _set(params, (name, "FusedConvBN_0", "kernel"), _conv_w(block[1]))
+            _set(params, (name, "FusedConvBN_0", "scale"), bn["scale"])
+            _set(params, (name, "FusedConvBN_0", "bias"), bn["bias"])
+            _set(bstats, (name, "FusedConvBN_0", "mean"), bn["mean"])
+            _set(bstats, (name, "FusedConvBN_0", "var"), bn["var"])
+        else:
+            _set(params, (name, "Conv_0", "kernel"), _conv_w(block[1]))
+            _set(params, (name, "BatchNorm_0", "scale"), bn["scale"])
+            _set(params, (name, "BatchNorm_0", "bias"), bn["bias"])
+            _set(bstats, (name, "BatchNorm_0", "mean"), bn["mean"])
+            _set(bstats, (name, "BatchNorm_0", "var"), bn["var"])
+        n_conv += 1
+        for j in range(n_layers):
+            conv, bnm = block[4 + 3 * j], block[5 + 3 * j]
+            name = f"ConvBNReLU_{n_conv}"
+            bn = _bn(bnm)
+            _set(params, (name, "FusedConvBN_0", "kernel"), _conv_w(conv))
+            _set(params, (name, "FusedConvBN_0", "scale"), bn["scale"])
+            _set(params, (name, "FusedConvBN_0", "bias"), bn["bias"])
+            _set(bstats, (name, "FusedConvBN_0", "mean"), bn["mean"])
+            _set(bstats, (name, "FusedConvBN_0", "var"), bn["var"])
+            n_conv += 1
+        jd = i - up_start
+        if jd >= 0:
+            deb = ref_rpn.deblocks[jd]
+            name = f"DeconvBNReLU_{jd}"
+            us = RPN_CFG["us_layer_strides"][jd]
+            if us > 1:
+                _set(params, (name, "ConvTranspose_0", "kernel"), _deconv_w(deb[0]))
+            else:
+                _set(params, (name, "Conv_0", "kernel"), _conv_w(deb[0]))
+            bn = _bn(deb[1])
+            _set(params, (name, "BatchNorm_0", "scale"), bn["scale"])
+            _set(params, (name, "BatchNorm_0", "bias"), bn["bias"])
+            _set(bstats, (name, "BatchNorm_0", "mean"), bn["mean"])
+            _set(bstats, (name, "BatchNorm_0", "var"), bn["var"])
+
+
+def test_rpn_forward_parity(refdet):
+    import flax
+
+    from tdal.models.rpn import RPN
+
+    ref_rpn = refdet.rpn.RPN(
+        num_input_features=RPN_CIN, logger=logging.getLogger("t"), **RPN_CFG
+    )
+    _randomize_torch(ref_rpn, 0)
+
+    det = RPN(**RPN_CFG)
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, RPN_CIN)).astype(np.float32)
+    variables = flax.core.unfreeze(
+        det.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    )
+    _graft_rpn(ref_rpn, variables["params"], variables["batch_stats"])
+
+    out = det.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+        False,
+    )
+    with torch.no_grad():
+        ref = ref_rpn(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(out),
+        ref.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4,
+        atol=1e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CenterHead
+# ---------------------------------------------------------------------------
+
+CH_CIN = 32
+CH_TASKS = [
+    dict(num_class=1, class_names=["VEHICLE"]),
+    dict(num_class=2, class_names=["PEDESTRIAN", "CYCLIST"]),
+]
+CH_COMMON = {"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)}
+
+
+def _graft_center_head(ref_head, params, bstats, head_conv=64):
+    shared_conv, shared_bn = ref_head.shared_conv[0], ref_head.shared_conv[1]
+    bn = _bn(shared_bn)
+    _set(params, ("FusedConvBN_0", "kernel"), _conv_w(shared_conv))
+    _set(params, ("FusedConvBN_0", "conv_bias"),
+         np.asarray(shared_conv.bias.detach().numpy(), np.float32))
+    _set(params, ("FusedConvBN_0", "scale"), bn["scale"])
+    _set(params, ("FusedConvBN_0", "bias"), bn["bias"])
+    _set(bstats, ("FusedConvBN_0", "mean"), bn["mean"])
+    _set(bstats, ("FusedConvBN_0", "var"), bn["var"])
+
+    for t, task in enumerate(ref_head.tasks):
+        sp = f"SepHead_{t}"
+        names = list(task.heads.keys())  # reg, height, dim, rot, hm
+        outs = [task.heads[n][0] for n in names]
+        g = len(names)
+        # fused first depth: dense conv cin -> head_conv*g, per-branch output
+        # slices; fused BN = concatenated per-branch BNs
+        k0 = np.zeros(
+            np.asarray(params[sp]["branch_convbn0"]["kernel"]).shape, np.float32
+        )
+        b0 = np.zeros((head_conv * g,), np.float32)
+        s0, be0, m0, v0 = (np.zeros((head_conv * g,), np.float32) for _ in range(4))
+        # final block-diagonal conv: branch i's head_conv slice -> its out slice
+        kf = np.zeros(
+            np.asarray(params[sp]["final_conv_kernel"]).shape, np.float32
+        )
+        bf = np.zeros((sum(outs),), np.float32)
+        co = 0
+        for i, n in enumerate(names):
+            fc = getattr(task, n)  # Sequential(conv, BN, ReLU, conv)
+            conv1, bn1, conv2 = fc[0], fc[1], fc[3]
+            sl = slice(i * head_conv, (i + 1) * head_conv)
+            k0[:, :, :, sl] = _conv_w(conv1)
+            b0[sl] = np.asarray(conv1.bias.detach().numpy(), np.float32)
+            bnv = _bn(bn1)
+            s0[sl], be0[sl] = bnv["scale"], bnv["bias"]
+            m0[sl], v0[sl] = bnv["mean"], bnv["var"]
+            kf[:, :, sl, co : co + outs[i]] = _conv_w(conv2)
+            bf[co : co + outs[i]] = np.asarray(conv2.bias.detach().numpy(), np.float32)
+            co += outs[i]
+        _set(params, (sp, "branch_convbn0", "kernel"), k0)
+        _set(params, (sp, "branch_convbn0", "conv_bias"), b0)
+        _set(params, (sp, "branch_convbn0", "scale"), s0)
+        _set(params, (sp, "branch_convbn0", "bias"), be0)
+        _set(bstats, (sp, "branch_convbn0", "mean"), m0)
+        _set(bstats, (sp, "branch_convbn0", "var"), v0)
+        _set(params, (sp, "final_conv_kernel"), kf)
+        _set(params, (sp, "final_conv_bias"), bf)
+
+
+def _run_pfn_pair(refdet, num_filters, num_points_fn, shift_negative, seed):
+    """Graft the reference PillarFeatureNet into tdal's and return both
+    eval-mode outputs on the same fabricated pillars."""
+    import flax
+
+    from tdal.models.readers import PillarFeatureNet
+
+    vsize = (0.2, 0.2, 4.0)
+    prange = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    ref_pfn = refdet.pillar.PillarFeatureNet(
+        num_input_features=5,
+        num_filters=num_filters,
+        voxel_size=vsize,
+        pc_range=prange,
+    )
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in ref_pfn.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.weight.normal_(0, 0.1, generator=g)
+            elif isinstance(m, torch.nn.BatchNorm1d):
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.normal_(0, 0.1, generator=g)
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+                if shift_negative:
+                    # shift = beta - mean*inv*gamma < 0 -> eval pad rows
+                    # relu(shift) == 0, neutralizing the reference's pad-floor
+                    # quirk so the masked and unmasked maxes coincide
+                    inv = (m.running_var + m.eps).rsqrt() * m.weight
+                    m.bias.copy_(
+                        m.running_mean * inv
+                        - torch.empty_like(m.bias).uniform_(0.1, 0.5, generator=g)
+                    )
+    ref_pfn.eval()
+
+    rng = np.random.default_rng(seed)
+    V, P, D = 24, 20, 5
+    num_points = num_points_fn(rng, V, P).astype(np.int32)
+    voxels = rng.normal(size=(V, P, D)).astype(np.float32)
+    voxels *= (np.arange(P)[None, :] < num_points[:, None])[..., None]
+    coords_zyx = np.stack(
+        [
+            np.zeros((V,), np.int32),
+            rng.integers(0, 400, size=(V,)).astype(np.int32),
+            rng.integers(0, 350, size=(V,)).astype(np.int32),
+        ],
+        axis=1,
+    )
+
+    det = PillarFeatureNet(
+        num_filters=num_filters, voxel_size=vsize, pc_range=prange
+    )
+    args = (
+        jnp.asarray(voxels[None]),
+        jnp.asarray(num_points[None]),
+        jnp.asarray(coords_zyx[None]),
+        False,
+    )
+    variables = flax.core.unfreeze(det.init(jax.random.PRNGKey(0), *args))
+    for i, layer in enumerate(ref_pfn.pfn_layers):
+        name = f"PFNLayer_{i}"
+        _set(
+            variables["params"],
+            (name, "Dense_0", "kernel"),
+            np.asarray(layer.linear.weight.detach().numpy(), np.float32).T,
+        )
+        bn = _bn(layer.norm)
+        _set(variables["params"], (name, "MaskedBatchNorm_0", "scale"), bn["scale"])
+        _set(variables["params"], (name, "MaskedBatchNorm_0", "bias"), bn["bias"])
+        _set(variables["batch_stats"], (name, "MaskedBatchNorm_0", "mean"), bn["mean"])
+        _set(variables["batch_stats"], (name, "MaskedBatchNorm_0", "var"), bn["var"])
+
+    out = det.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        *args,
+    )
+    coors_bzyx = np.concatenate([np.zeros((V, 1), np.int32), coords_zyx], axis=1)
+    with torch.no_grad():
+        ref = ref_pfn(
+            torch.from_numpy(voxels),
+            torch.from_numpy(num_points),
+            torch.from_numpy(coors_bzyx),
+        )
+    return np.asarray(out)[0], ref.numpy()
+
+
+def test_pillar_feature_net_forward_parity(refdet):
+    """Eval-mode PFN: feature decoration (cluster-mean + pillar-center
+    offsets), Linear -> BN1d(eps 1e-3) -> ReLU -> max, incl. the non-last
+    layer's max-concat path.
+
+    KNOWN (intentional) divergence: the reference's max-pool INCLUDES padded
+    point rows, which after the eval BN hold relu(shift) — an upstream
+    SECOND/PointPillars quirk that acts as a per-channel floor on the pillar
+    feature. tdal's masked max excludes padding (readers.PFNLayer). The two
+    cases below pin everything EXCEPT that quirk: (a) the production
+    single-layer config with BN biases arranged so shift < 0 (pad rows relu
+    to 0 on both sides, padding exercised), and (b) a two-layer chain with
+    every pillar full (no padding exists)."""
+    out, ref = _run_pfn_pair(
+        refdet,
+        (64,),
+        lambda rng, V, P: rng.integers(1, P + 1, size=(V,)),
+        shift_negative=True,
+        seed=2,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    out, ref = _run_pfn_pair(
+        refdet,
+        (32, 64),
+        lambda rng, V, P: np.full((V,), P),
+        shift_negative=False,
+        seed=3,
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_center_head_forward_parity(refdet):
+    import flax
+
+    from tdal.models.center_head import CenterHead
+
+    ref_head = refdet.center_head.CenterHead(
+        in_channels=CH_CIN,
+        tasks=CH_TASKS,
+        common_heads=dict(CH_COMMON),
+        share_conv_channel=64,
+        num_hm_conv=2,
+    )
+    _randomize_torch(ref_head, 1)
+
+    det = CenterHead(tasks=tuple(CH_TASKS), common_heads=dict(CH_COMMON))
+    x = np.random.default_rng(1).normal(size=(2, 16, 16, CH_CIN)).astype(np.float32)
+    variables = flax.core.unfreeze(
+        det.init(jax.random.PRNGKey(0), jnp.asarray(x), False)
+    )
+    _graft_center_head(ref_head, variables["params"], variables["batch_stats"])
+
+    outs = det.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x),
+        False,
+    )
+    with torch.no_grad():
+        refs = ref_head(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    assert len(outs) == len(refs) == len(CH_TASKS)
+    for out, ref in zip(outs, refs):
+        assert set(out.keys()) == set(ref.keys())
+        for n in out:
+            np.testing.assert_allclose(
+                np.asarray(out[n]),
+                ref[n].numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4,
+                atol=1e-4,
+                err_msg=n,
+            )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage RoIHead
+# ---------------------------------------------------------------------------
+
+
+def test_roi_head_forward_parity(refdet):
+    """Eval-mode RoIHead MLP stacks: shared Conv1d(k=1)+BN1d+ReLU trunk, then
+    cls/reg branches with first-layer dropout (identity at eval) and the
+    bias-carrying final layer (roi_head.py:26-48, roi_head_template.py:27-41).
+    Drives the reference's Sequentials directly on (B*K, C, 1) pooled features
+    — the surrounding batch_dict plumbing is train-path target assignment."""
+    import flax
+
+    from tdal.models.two_stage import RoIHead
+
+    model_cfg = types.SimpleNamespace(
+        SHARED_FC=[256, 256],
+        CLS_FC=[256, 256],
+        REG_FC=[256, 256],
+        DP_RATIO=0.3,
+        TARGET_CONFIG=types.SimpleNamespace(),
+    )
+    cin, code_size = 160, 9
+    ref_roi = refdet.roi.RoIHead(
+        input_channels=cin, model_cfg=model_cfg, num_class=1, code_size=code_size
+    )
+    g = torch.Generator().manual_seed(4)
+    with torch.no_grad():
+        for m in ref_roi.modules():
+            if isinstance(m, torch.nn.Conv1d):
+                m.weight.normal_(0, 0.1, generator=g)
+                if m.bias is not None:
+                    m.bias.normal_(0, 0.1, generator=g)
+            elif isinstance(m, torch.nn.BatchNorm1d):
+                m.weight.uniform_(0.5, 1.5, generator=g)
+                m.bias.normal_(0, 0.1, generator=g)
+                m.running_mean.normal_(0, 0.5, generator=g)
+                m.running_var.uniform_(0.5, 2.0, generator=g)
+    ref_roi.eval()
+
+    rng = np.random.default_rng(4)
+    B, K = 2, 16
+    feats = rng.normal(size=(B, K, cin)).astype(np.float32)
+
+    det = RoIHead(
+        shared_fc=(256, 256), cls_fc=(256, 256), reg_fc=(256, 256),
+        code_size=code_size, num_class=1, dp_ratio=0.3,
+    )
+    variables = flax.core.unfreeze(
+        det.init(jax.random.PRNGKey(0), jnp.asarray(feats), False)
+    )
+    params, bstats = variables["params"], variables["batch_stats"]
+
+    def graft_seq(seq, dense_i, bn_i):
+        """Walk a torch Sequential, grafting Conv1d->Dense_<i> and
+        BatchNorm1d->BatchNorm_<i> in order; returns advanced counters."""
+        for m in seq:
+            if isinstance(m, torch.nn.Conv1d):
+                name = f"Dense_{dense_i}"
+                _set(params, (name, "kernel"),
+                     np.asarray(m.weight.detach().numpy(), np.float32)[:, :, 0].T)
+                if m.bias is not None:
+                    _set(params, (name, "bias"),
+                         np.asarray(m.bias.detach().numpy(), np.float32))
+                dense_i += 1
+            elif isinstance(m, torch.nn.BatchNorm1d):
+                name = f"BatchNorm_{bn_i}"
+                bn = _bn(m)
+                _set(params, (name, "scale"), bn["scale"])
+                _set(params, (name, "bias"), bn["bias"])
+                _set(bstats, (name, "mean"), bn["mean"])
+                _set(bstats, (name, "var"), bn["var"])
+                bn_i += 1
+        return dense_i, bn_i
+
+    di, bi = graft_seq(ref_roi.shared_fc_layer, 0, 0)
+    di, bi = graft_seq(ref_roi.cls_layers, di, bi)
+    graft_seq(ref_roi.reg_layers, di, bi)
+
+    rcnn_cls, rcnn_reg = det.apply(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(feats), False
+    )
+    pooled = torch.from_numpy(feats.reshape(B * K, cin, 1))
+    with torch.no_grad():
+        shared = ref_roi.shared_fc_layer(pooled)
+        ref_cls = ref_roi.cls_layers(shared).numpy().reshape(B, K, 1)
+        ref_reg = ref_roi.reg_layers(shared).numpy().reshape(B, K, code_size)
+    np.testing.assert_allclose(np.asarray(rcnn_cls), ref_cls, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rcnn_reg), ref_reg, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage BEV feature extraction geometry
+# ---------------------------------------------------------------------------
+
+
+def test_bev_extractor_and_centers_parity(refdet):
+    """Pin the two-stage BEV sampling against the reference's own geometry
+    code: (a) the 5 sample points per box (center + 4 side midpoints, exactly
+    detectors/two_stage.py:49-76 via the REAL box_torch_ops
+    .center_to_corner_box2d), and (b) bilinear interpolation + the point-major
+    section-concat layout of BEVFeatureExtractor (second_stage/
+    bird_eye_view.py:24-41, center_utils.py:92-121) for interior samples.
+
+    KNOWN (intentional) divergence: the reference clamps the bilinear
+    neighbors BEFORE computing weights, zeroing samples exactly on the far
+    border; tdal weights with the unclamped positions (two_stage.py:42-62).
+    Interior points — everything the production pipeline samples — match."""
+    import det3d.core.utils.center_utils as center_utils
+
+    from tdal.models.two_stage import (
+        BEVFeatureExtractor,
+        get_box_centers,
+    )
+
+    rng = np.random.default_rng(5)
+    K = 12
+    boxes = np.zeros((K, 9), np.float32)
+    boxes[:, 0] = rng.uniform(5, 45, K)   # x
+    boxes[:, 1] = rng.uniform(5, 45, K)   # y
+    boxes[:, 2] = rng.uniform(-1, 1, K)   # z
+    boxes[:, 3] = rng.uniform(1, 3, K)    # dx
+    boxes[:, 4] = rng.uniform(1, 5, K)    # dy
+    boxes[:, 5] = rng.uniform(1, 2, K)
+    boxes[:, 8] = rng.uniform(-np.pi, np.pi, K)  # heading LAST
+
+    # (a) sample points: reference layout is point-major
+    #     [center | front | back | left | right] x K. The reference's
+    #     rotation_2d rotates CLOCKWISE for positive heading (det3d/KITTI
+    #     negated-yaw convention, box_torch_ops.py:145-158); tdal boxes carry
+    #     raw Waymo CCW heading (tdal/core/geometry.py module docstring), so
+    #     the reference path gets the NEGATED heading — after which both must
+    #     sample the identical physical points.
+    bt = torch.from_numpy(boxes)
+    bto = sys.modules["det3d.core.box_torch_ops"]
+    corners = bto.center_to_corner_box2d(bt[:, :2], bt[:, 3:5], -bt[:, -1])
+    height = bt[:, 2:3]
+    front = torch.cat([(corners[:, 0] + corners[:, 1]) / 2, height], dim=-1)
+    back = torch.cat([(corners[:, 2] + corners[:, 3]) / 2, height], dim=-1)
+    left = torch.cat([(corners[:, 0] + corners[:, 3]) / 2, height], dim=-1)
+    right = torch.cat([(corners[:, 1] + corners[:, 2]) / 2, height], dim=-1)
+    ref_pts = torch.cat([bt[:, :3], front, back, left, right], dim=0).numpy()
+    ref_pts = ref_pts.reshape(5, K, 3).transpose(1, 0, 2)  # (K, 5, 3) per box
+
+    got_pts = np.asarray(get_box_centers(jnp.asarray(boxes[None]))[0])
+    np.testing.assert_allclose(got_pts, ref_pts, rtol=1e-4, atol=1e-4)
+
+    # (b) bilinear sampling + section-concat layout
+    H = W = 64
+    C = 6
+    bev = rng.normal(size=(H, W, C)).astype(np.float32)
+    ext = BEVFeatureExtractor(pc_start=(0.0, 0.0), voxel_size=(1.0, 1.0), out_stride=1)
+    got = np.asarray(
+        ext(jnp.asarray(bev[None]), jnp.asarray(got_pts[None]))
+    )[0]  # (K, 5*C)
+
+    # reference: point-major flat centers, one bilinear call, section concat
+    flat = ref_pts.transpose(1, 0, 2).reshape(5 * K, 3)
+    fm = center_utils.bilinear_interpolate_torch(
+        torch.from_numpy(bev),
+        torch.from_numpy(flat[:, 0]),
+        torch.from_numpy(flat[:, 1]),
+    )
+    sec = len(fm) // 5
+    ref_feat = torch.cat([fm[i * sec : (i + 1) * sec] for i in range(5)], dim=1)
+    np.testing.assert_allclose(got, ref_feat.numpy(), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Core geometry vs the reference's own numpy code (box_np_ops)
+# ---------------------------------------------------------------------------
+
+
+def test_box_np_ops_geometry_parity(refdet):
+    """Run the reference's ACTUAL numpy geometry (box_np_ops.py — pure
+    numpy once numba.jit/njit are pass-through) against tdal/core/geometry:
+    3D corner computation and the points-in-rotated-box test, across the
+    CCW-vs-negated-yaw convention boundary. Stronger than tests/oracles.py,
+    which re-derives the math independently."""
+    bnp = refdet.box_np_ops
+    from tdal.core import geometry
+
+    rng = np.random.default_rng(6)
+    N = 16
+    centers = rng.uniform(-20, 20, (N, 3)).astype(np.float64)
+    dims = rng.uniform(0.5, 5.0, (N, 3)).astype(np.float64)
+    yaw = rng.uniform(-np.pi, np.pi, (N,)).astype(np.float64)
+
+    ref_corners = bnp.center_to_corner_box3d(
+        centers, dims, -yaw, origin=(0.5, 0.5, 0.5), axis=2
+    )
+    got_corners = np.asarray(
+        geometry.center_to_corner_box3d(
+            jnp.asarray(centers), jnp.asarray(dims), jnp.asarray(yaw)
+        )
+    )
+    np.testing.assert_allclose(got_corners, ref_corners, rtol=1e-5, atol=1e-5)
+
+    pts = rng.uniform(-25, 25, (400, 3)).astype(np.float64)
+    boxes = np.concatenate([centers, dims, yaw[:, None]], axis=1)
+    boxes_ref = boxes.copy()
+    boxes_ref[:, -1] = -boxes_ref[:, -1]
+    ref_in = bnp.points_in_rbbox(pts, boxes_ref, z_axis=2, origin=(0.5, 0.5, 0.5))
+    got_in = np.asarray(
+        geometry.points_in_rbbox(jnp.asarray(pts), jnp.asarray(boxes))
+    )
+    # exclude points within 1e-3 of any box surface (boundary ties resolve
+    # differently between the half-space and surface-normal formulations)
+    eps = 1e-3
+    grow = boxes.copy()
+    grow[:, 3:6] += 2 * eps
+    shrink = boxes.copy()
+    shrink[:, 3:6] -= 2 * eps
+    in_grow = np.asarray(geometry.points_in_rbbox(jnp.asarray(pts), jnp.asarray(grow)))
+    in_shrink = np.asarray(
+        geometry.points_in_rbbox(jnp.asarray(pts), jnp.asarray(shrink))
+    )
+    decided = in_grow == in_shrink
+    assert decided.mean() > 0.99
+    np.testing.assert_array_equal(got_in[decided], np.asarray(ref_in)[decided])
