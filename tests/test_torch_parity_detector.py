@@ -817,3 +817,81 @@ def test_box_np_ops_geometry_parity(refdet):
     decided = in_grow == in_shrink
     assert decided.mean() > 0.99
     np.testing.assert_array_equal(got_in[decided], np.asarray(ref_in)[decided])
+
+
+# ---------------------------------------------------------------------------
+# Voxelizer + CenterNet target gaussians vs the reference's own code
+# ---------------------------------------------------------------------------
+
+
+def test_voxelizer_parity(refdet):
+    """Run the reference's ACTUAL points_to_voxel (point_cloud_ops.py:112-176,
+    pure python under the numba pass-through) against tdal's sort-based
+    voxelizer. Voxel ORDER differs by construction (first-encounter vs
+    cell-id-sorted), so voxels are matched by their zyx coordinate; within a
+    voxel both keep the FIRST max_points in point order (tdal's flat sort is
+    stable), so contents must be identical row-for-row — the truncation
+    semantics the PFN features depend on."""
+    pc_ops = _load_file(
+        "det3d.ops.point_cloud.point_cloud_ops",
+        REF_ROOT / "det3d/ops/point_cloud/point_cloud_ops.py",
+    )
+    from tdal.core.voxel import VoxelConfig, pad_points, voxelize
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-7.5, 7.5, (3000, 5)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-2.5, 3.5, 3000)  # some out-of-range z
+    prange = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
+    vsize = (0.5, 0.5, 1.0)
+    max_points = 5
+
+    ref_vox, ref_coors, ref_num = pc_ops.points_to_voxel(
+        pts, np.array(vsize, np.float32), np.array(prange, np.float32),
+        max_points=max_points, reverse_index=True, max_voxels=4000,
+    )
+
+    cfg = VoxelConfig(prange, vsize, max_points, 4000)
+    vox, coords, num, nvox = voxelize(jnp.asarray(pad_points(pts, 3200)), cfg)
+    vox, coords, num = np.asarray(vox), np.asarray(coords), np.asarray(num)
+    nvox = int(nvox)
+
+    assert nvox == len(ref_coors), (nvox, len(ref_coors))
+    ref_by_coord = {tuple(c): i for i, c in enumerate(ref_coors)}
+    for i in range(nvox):
+        j = ref_by_coord[tuple(coords[i])]
+        assert num[i] == ref_num[j], (coords[i], num[i], ref_num[j])
+        np.testing.assert_array_equal(
+            vox[i, : num[i]], ref_vox[j, : ref_num[j]], err_msg=str(coords[i])
+        )
+        assert not vox[i, num[i] :].any()  # zero padding beyond the count
+
+
+def test_target_gaussian_parity(refdet):
+    """gaussian_radius / gaussian2D / draw_umich_gaussian from the reference's
+    center_utils (the primitives its AssignLabel pipeline splats heatmaps
+    with) vs tdal/core/targets equivalents, including the in-place max-splat
+    at borders."""
+    import det3d.core.utils.center_utils as center_utils
+
+    from tdal.core import targets
+
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        l, w = rng.uniform(0.5, 30, 2)
+        ref_r = center_utils.gaussian_radius((l, w), min_overlap=0.1)
+        got_r = targets.gaussian_radius((l, w), min_overlap=0.1)
+        np.testing.assert_allclose(got_r, ref_r, rtol=1e-6)
+
+    for radius in (1, 2, 5):
+        diameter = 2 * radius + 1
+        ref_g = center_utils.gaussian2D((diameter, diameter), sigma=diameter / 6)
+        got_g = targets.gaussian_2d((diameter, diameter), sigma=diameter / 6)
+        np.testing.assert_allclose(got_g, ref_g, rtol=1e-6)
+
+    # max-splat incl. clipping at all four borders
+    for center in ((8, 8), (0, 0), (15, 11), (1, 14)):
+        hm_ref = rng.uniform(0, 0.3, (12, 16)).astype(np.float32)
+        hm_got = hm_ref.copy()
+        center_utils.draw_umich_gaussian(hm_ref, center, 4)
+        targets.draw_gaussian(hm_got, center, 4)
+        np.testing.assert_allclose(hm_got, hm_ref, rtol=1e-6)
