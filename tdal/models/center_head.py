@@ -352,14 +352,17 @@ def center_head_loss(preds_dicts, targets, code_weights, weight: float = 2.0, ha
 # ---------------------------------------------------------------------------
 
 
-def decode_preds(preds, test_cfg):
+def decode_preds(preds, test_cfg, activated: bool = False):
     """Per-task NHWC maps -> (batch_box_preds (B, HW, 7|9), batch_hm (B, HW, C)).
 
     Parity: center_head.py:342-424 (sigmoid hm, exp dims, atan2 rot, grid offsets to
-    world coords)."""
-    hm = jax.nn.sigmoid(preds["hm"])
+    world coords). ``activated=True``: hm/dim already hold probabilities/sizes
+    (the double-flip TTA merge averages AFTER activation, like the reference)."""
+    hm = preds["hm"] if activated else jax.nn.sigmoid(preds["hm"])
     b, H, W, num_cls = hm.shape
-    dim = jnp.exp(jnp.clip(preds["dim"], -10.0, 10.0))
+    dim = (
+        preds["dim"] if activated else jnp.exp(jnp.clip(preds["dim"], -10.0, 10.0))
+    )
     rot = jnp.arctan2(preds["rot"][..., 0:1], preds["rot"][..., 1:2])
     reg = preds["reg"]
     hei = preds["height"]
@@ -430,13 +433,13 @@ def post_process_task(batch_box_preds, batch_hm, test_cfg, task_id: int = 0):
     }
 
 
-def predict(preds_dicts, test_cfg, num_classes: Sequence[int]):
+def predict(preds_dicts, test_cfg, num_classes: Sequence[int], activated: bool = False):
     """Full multi-task prediction: decode + NMS per task, labels offset per task,
     results concatenated along the box axis. Parity: center_head.py:293-448."""
     outs = []
     flag = 0
     for task_id, preds in enumerate(preds_dicts):
-        boxes, hm = decode_preds(preds, test_cfg)
+        boxes, hm = decode_preds(preds, test_cfg, activated=activated)
         r = post_process_task(boxes, hm, test_cfg, task_id)
         r["label_preds"] = r["label_preds"] + flag
         flag += num_classes[task_id]

@@ -41,9 +41,18 @@ def average_double_flip_preds(preds: dict) -> dict:
         v = v.at[:, 3].set(jnp.flip(v[:, 3], axis=(1, 2)))
         shaped[k] = v
 
-    for k in ("hm", "height", "dim"):
-        if k in shaped:
-            out[k] = shaped[k].mean(axis=1)
+    # The reference activates BEFORE averaging (center_head.py:342-356):
+    # mean of sigmoid(hm) and mean of exp(dim), not sigmoid/exp of the mean —
+    # different math (arithmetic vs geometric mean of sizes; probability vs
+    # logit averaging for scores). The returned hm/dim are therefore already
+    # activated; decode with decode_preds(..., activated=True). Pinned by
+    # tests/test_torch_parity_detector.py::test_decode_and_double_flip_parity.
+    import jax
+
+    out["hm"] = jax.nn.sigmoid(shaped["hm"]).mean(axis=1)
+    out["dim"] = jnp.exp(shaped["dim"]).mean(axis=1)
+    if "height" in shaped:
+        out["height"] = shaped["height"].mean(axis=1)
 
     reg = shaped["reg"]
     reg = reg.at[:, 1, ..., 1].set(1 - reg[:, 1, ..., 1])

@@ -75,8 +75,10 @@ def make_tta_predict_step(detector, test_cfg: dict):
             points,
             train=False,
         )
+        # the merge averages AFTER sigmoid/exp (reference semantics), so the
+        # averaged hm/dim are already activated
         averaged = [average_double_flip_preds(task_preds) for task_preds in preds]
-        return predict(averaged, test_cfg, num_classes)
+        return predict(averaged, test_cfg, num_classes, activated=True)
 
     return jax.jit(predict_step)
 

@@ -80,7 +80,14 @@ def test_double_flip_average_identity():
         variants[k] = jnp.asarray(np.stack([v0, v1, v2, v3]))
     out = average_double_flip_preds(variants)
     for k in base:
-        np.testing.assert_allclose(np.asarray(out[k]), base[k], atol=1e-6, err_msg=k)
+        # hm/dim are averaged AFTER activation (reference center_head.py:342-356)
+        if k == "hm":
+            want = 1.0 / (1.0 + np.exp(-base[k]))
+        elif k == "dim":
+            want = np.exp(base[k])
+        else:
+            want = base[k]
+        np.testing.assert_allclose(np.asarray(out[k]), want, atol=1e-6, err_msg=k)
 
 
 def test_double_flip_points():
