@@ -22,6 +22,22 @@ chain iterations through a data dependency and end with a scalar host fetch
 (tdal.utils.timing) — block_until_ready is unreliable through the axon tunnel.
 Each metric is fault-isolated: a failure emits {"metric", "error"} instead of
 killing the bench.
+
+Budget protocol (VERDICT r3 item 1 — round 3 produced NO driver-visible perf
+because the all-or-nothing bench ran past the driver timeout, rc=124):
+
+  - A hard wall-clock budget (env TDAL_BENCH_BUDGET_S, default 540 s) governs
+    the whole run. Cheap metrics run first; expensive metrics run in
+    descending value order, each behind a remaining-budget check. A metric
+    that doesn't fit emits {"metric": ..., "skipped": "budget", "est_s": ...}
+    instead of running over — the ONE JSON line always prints.
+  - Per-metric cost estimates are adaptive: each successful run records its
+    elapsed seconds in .bench_state.json (gitignored); the next run budgets
+    with those measurements x1.4 margin. First-ever runs use conservative
+    cold-compile defaults.
+  - The XLA persistent compilation cache (~/.cache/tdal/jax_cache, enabled on
+    import tdal) makes the multi-minute full-grid compiles happen once per
+    machine, not once per bench invocation.
 """
 
 import json
@@ -29,6 +45,27 @@ import os
 import tempfile
 import time
 import traceback
+from pathlib import Path
+
+_ROOT = Path(__file__).resolve().parent
+_STATE_PATH = _ROOT / ".bench_state.json"
+BUDGET_S = float(os.environ.get("TDAL_BENCH_BUDGET_S", "540"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache — enabled by ``import tdal``
+    (~/.cache/tdal/jax_cache): the multi-minute full-grid compiles happen once
+    per machine, so the driver's bench run after a warm in-round run loads
+    instead of recompiling."""
+    try:
+        import tdal  # noqa: F401  (side effect: jax_compilation_cache_dir)
+    except Exception:
+        traceback.print_exc()
 
 B, N, NOBJ = 32, 512, 512
 # The labeler fwd is ~1.5 ms, and each timed block ends with ONE host fetch
@@ -426,18 +463,116 @@ def measure_trackdata_extraction():
         return stats_timer(once, repeats=3)
 
 
-def measure_pipeline_e2e():
-    """All 6 offboard stages chained on one synthetic segment, frames/sec."""
+def measure_pipeline_e2e(n_frames=16):
+    """All 6 offboard stages chained on one synthetic segment, frames/sec.
+
+    n_frames scales the segment (VERDICT r3 item 7: 200-frame segments
+    amortize compiles/host latency the way real Waymo segments do)."""
     import sys
 
     sys.path.insert(0, "benchmarks")
     from pipeline_e2e import measure
 
-    return measure()
+    return measure(n_frames=n_frames)
+
+
+def measure_detector_ap_synthetic(epochs=30):
+    """From-scratch short train of the synthetic PointPillars config, scored by
+    the in-framework AP evaluator — the driver-visible detector-quality gate
+    (VERDICT r3 item 5). Guards the whole train path (data -> targets -> train
+    step -> decode -> NMS -> eval) against silent numerics regressions; the
+    measurable stand-in for the environment-blocked real-Waymo mAPH target.
+    tests/test_detector_quality_gate.py asserts the hard floor in CI."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tdal.data.detection import DetectionDataset
+    from tdal.data.synthetic import make_synthetic_dataset
+    from tdal.data.waymo_schema import reorganize_info
+    from tdal.models.builder import (
+        build_assigner,
+        build_detector,
+        build_test_cfg,
+        build_voxel_config,
+    )
+    from tdal.pipeline.detector_engine import make_detector_steps, predictions_to_host
+    from tdal.pipeline.detector_run import detection_batches
+    from tdal.runtime.config import Config
+    from tdal.runtime.schedules import adam_with_schedule, one_cycle
+    from tdal.runtime.train_state import TrainState, init_model
+    from tdal.utils.detection_metrics import (
+        detections_to_eval_format,
+        evaluate_detection,
+        gt_from_annos,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        infos, _ = make_synthetic_dataset(
+            tmp, n_scenes=4, n_frames=16, seed=1, n_static=3, n_dynamic=2,
+            points_per_object=200, n_background=1500,
+        )
+        cfg = Config.fromfile(str(_ROOT / "configs/synthetic/pp_tiny.py"))
+        voxel_cfg = build_voxel_config(cfg.voxel_generator, train=True)
+        det = build_detector(cfg.model, voxel_cfg)
+        assigner = build_assigner(cfg.train_cfg["assigner"], det)
+        test_cfg = build_test_cfg(cfg.test_cfg, det, voxel_cfg)
+        names = cfg.data["train"]["class_names"]
+        train_ds = DetectionDataset(
+            infos, class_names=names, assigner=assigner, voxel_cfg=voxel_cfg,
+            mode="train", max_points=4096,
+        )
+        val_ds = DetectionDataset(
+            infos, class_names=names, assigner=assigner, voxel_cfg=voxel_cfg,
+            mode="val", max_points=4096, shuffle_points=False,
+        )
+        bsz = 8
+        steps = max(1, len(train_ds) // bsz) * epochs
+        lr, mom = one_cycle(1e-3, steps)
+        tx = adam_with_schedule(lr, weight_decay=0.01, grad_clip=35.0, momentum_schedule=mom)
+        ex = train_ds[0]
+        key = jax.random.PRNGKey(0)
+        params, bs = init_model(det, {"params": key}, jnp.asarray(np.stack([ex["points"]] * bsz)))
+        state = TrainState.create(params, tx, bs)
+        code_w = cfg.model["bbox_head"]["code_weights"]
+        train_step, predict_step = make_detector_steps(det, test_cfg, code_w, donate=False)
+        for ep in range(epochs):
+            for batch in detection_batches(train_ds, bsz, shuffle=True, seed=ep):
+                for k in ("n_valid", "token", "gt_boxes_and_cls"):
+                    batch.pop(k, None)
+                batch = {
+                    k: ([jnp.asarray(x) for x in v] if isinstance(v, list) else jnp.asarray(v))
+                    for k, v in batch.items()
+                }
+                state, _logs = train_step(state, batch)
+        detections = {}
+        for batch in detection_batches(val_ds, bsz, shuffle=False, prefetch=False):
+            n_valid = batch.pop("n_valid")
+            tokens = batch.pop("token")
+            preds = predict_step(state, jnp.asarray(batch["points"]))
+            preds = {k: np.asarray(v) for k, v in preds.items()}
+            detections.update(predictions_to_host(preds, tokens[:n_valid]))
+        gts = gt_from_annos(reorganize_info(infos))
+        m = evaluate_detection(
+            detections_to_eval_format(detections), gts, iou_thresholds={"VEHICLE": 0.3}
+        )
+        ap = m.get("VEHICLE_AP", 0.0)
+        return {"ap_iou03": round(float(ap), 4), "epochs": epochs,
+                "metrics": {k: round(float(v), 4) for k, v in m.items()}}
+
+
+def _load_state():
+    try:
+        return json.loads(_STATE_PATH.read_text())
+    except Exception:
+        return {}
 
 
 def main():
     extra = []
+    _enable_compile_cache()
     try:
         import jax
 
@@ -445,24 +580,56 @@ def main():
     except Exception:
         backend = "unknown"
 
-    def guard(name, fn):
+    # Adaptive cost estimates: last measured elapsed x1.4, else cold defaults.
+    state_est = _load_state()
+    new_est = dict(state_est)
+
+    def guard(name, fn, cold_est_s=30.0, reserve_s=15.0):
+        """Run fn if it fits the remaining budget; else emit a skip record.
+
+        reserve_s keeps headroom for the final JSON print + cheaper
+        must-run metrics still queued."""
+        est = state_est.get(name, cold_est_s) * (1.4 if name in state_est else 1.0)
+        if _remaining() < est + reserve_s:
+            extra.append({"metric": name, "skipped": "budget",
+                          "est_s": round(est, 1), "remaining_s": round(_remaining(), 1)})
+            return None
+        t0 = time.monotonic()
         try:
-            return fn()
+            result = fn()
+            new_est[name] = round(time.monotonic() - t0, 1)
+            return result
         except Exception as e:
             traceback.print_exc()
             extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
             return None
 
-    baseline = guard("torch_cpu_baseline", measure_torch_cpu_baseline) or 1.0
-    fwd_stats = guard("static_labeler_forward", measure_labeler_forward)
-    pp = guard("pointpillars", measure_pointpillars)
-    vox_stats = guard("voxelize", measure_voxelize)
-    dyn_stats = guard("dynamic_labeler", measure_dynamic_labeler)
-    td_stats = guard("trackdata_extraction", measure_trackdata_extraction)
-    vn_stats = guard("voxelnet_full_grid", measure_voxelnet_full_grid)
-    ts_stats = guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict)
-    e2e = guard("pipeline_e2e", measure_pipeline_e2e)
+    # Phase A — cheap metrics (seconds each): always captured first.
+    baseline = guard("torch_cpu_baseline", measure_torch_cpu_baseline, 30) or 1.0
+    fwd_stats = guard("static_labeler_forward", measure_labeler_forward, 60)
+    vox_stats = guard("voxelize", measure_voxelize, 30)
+    dyn_stats = guard("dynamic_labeler", measure_dynamic_labeler, 60)
+    td_stats = guard("trackdata_extraction", measure_trackdata_extraction, 60)
 
+    # Phase B — expensive metrics in descending value order, each behind a
+    # remaining-budget check (VERDICT r3 item 1).
+    pp = guard("pointpillars", measure_pointpillars, 120)
+    ts_stats = guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 400)
+    vn_stats = guard("voxelnet_full_grid", measure_voxelnet_full_grid, 150)
+    e2e_frames = int(os.environ.get("TDAL_BENCH_E2E_FRAMES", "200"))
+    e2e = guard(f"pipeline_e2e_{e2e_frames}f",
+                lambda: measure_pipeline_e2e(n_frames=e2e_frames), 400)
+    ap_gate = guard("detector_ap_synthetic", measure_detector_ap_synthetic, 300)
+
+    try:
+        _STATE_PATH.write_text(json.dumps(new_est, indent=1))
+    except Exception:
+        traceback.print_exc()
+
+    if ap_gate:
+        extra.append({"metric": "detector_ap_synthetic", "value": ap_gate["ap_iou03"],
+                      "unit": f"VEHICLE AP@IoU0.3, {ap_gate['epochs']}ep from scratch",
+                      "all": ap_gate["metrics"]})
     if vn_stats:
         extra.append({"metric": "voxelnet_forward_ms_full_grid",
                       **_stats_ms(vn_stats),
@@ -497,7 +664,8 @@ def main():
     if e2e:
         extra.append({"metric": "pipeline_end_to_end_frames_per_sec",
                       "value": round(e2e["frames_per_sec"], 2),
-                      "unit": "frames/sec (detect+track+extract+motion+label, 16f segment)",
+                      "unit": "frames/sec (detect+track+extract+motion+label, "
+                              f"{e2e['n_frames']}f segment)",
                       "stage_s": e2e["stage_s"]})
 
     if fwd_stats:
@@ -515,6 +683,8 @@ def main():
                 "max": round(vmax, 1),
                 "unit": "object point-sets/sec",
                 "vs_baseline": round(value / baseline, 2),
+                "budget_s": BUDGET_S,
+                "elapsed_s": round(time.monotonic() - _T0, 1),
                 "extra": extra,
             }
         )

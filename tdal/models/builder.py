@@ -50,6 +50,8 @@ def build_detector(cfg_model: dict, voxel_cfg: VoxelConfig):
         rpn_us_strides=tuple(neck.get("us_layer_strides", (1, 2, 4))),
         rpn_us_filters=tuple(neck.get("us_num_filters", (128, 128, 128))),
         with_velocity="vel" in cfg_model["bbox_head"].get("common_heads", {}),
+        # Reference center_head.py:181,219-231: config-level dcn_head switch.
+        dcn_head=bool(cfg_model["bbox_head"].get("dcn_head", False)),
     )
     if mtype == "PointPillars":
         return PointPillars(

@@ -229,6 +229,9 @@ class CenterHead(nn.Module):
     share_conv_channel: int = 64
     num_hm_conv: int = 2
     init_bias: float = -2.19
+    # Reference center_head.py:181,219-231: dcn_head=True swaps each task's
+    # SepHead for a DCNSepHead (deformable feature adaption per branch group).
+    dcn_head: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -237,6 +240,24 @@ class CenterHead(nn.Module):
             "reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)
         }
         from tdal.models.layers import FusedConvBN
+
+        if self.dcn_head:
+            from tdal.models.dcn import DCNSepHead
+
+            # DCN path: materialize the shared-conv output normally (the
+            # deformable sampling reads the whole canvas, so the emit_raw
+            # VMEM-chaining trick does not apply).
+            x = FusedConvBN(
+                self.share_conv_channel, use_bias=True, momentum=0.9,
+                epsilon=1e-5, dtype=self.dtype,
+            )(x, train)
+            return [
+                DCNSepHead(
+                    heads=dict(common), num_cls=len(task["class_names"]),
+                    init_bias=self.init_bias, dtype=self.dtype,
+                )(x, train)
+                for task in self.tasks
+            ]
 
         # emit_raw chain: the shared conv's BN normalize+ReLU is applied on
         # each SepHead's first conv input side (re-computed per task in VMEM

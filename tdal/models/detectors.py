@@ -44,6 +44,8 @@ class PointPillars(nn.Module):
     rpn_us_strides: Sequence[int] = (1, 2, 4)
     rpn_us_filters: Sequence[int] = (128, 128, 128)
     with_velocity: bool = False
+    # Reference center_head.py:181: optional deformable-conv head branches.
+    dcn_head: bool = False
     # Optional NamedSharding for the BEV canvas (parallel.mesh.spatial_sharding):
     # spatially partitions the dense conv stack across the mesh via XLA SPMD
     # (automatic halo exchange). None = sharding follows the inputs (pure DP).
@@ -80,7 +82,8 @@ class PointPillars(nn.Module):
             if self.with_velocity:
                 common["vel"] = (2, 2)
             preds = CenterHead(
-                tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
+                tasks=tuple(self.tasks), common_heads=common,
+                dcn_head=self.dcn_head, dtype=self.dtype,
             )(x, train)
         if return_feature:
             return preds, x
@@ -112,6 +115,8 @@ class VoxelNet(nn.Module):
     rpn_us_strides: Sequence[int] = (1, 2)
     rpn_us_filters: Sequence[int] = (256, 256)
     with_velocity: bool = False
+    # Reference center_head.py:181: optional deformable-conv head branches.
+    dcn_head: bool = False
     # None = auto: gather-based sparse submanifold backbone when the dense grid
     # would be infeasible (> 2^24 cells), masked dense 3D convs otherwise.
     sparse_middle: bool = None
@@ -159,7 +164,8 @@ class VoxelNet(nn.Module):
             if self.with_velocity:
                 common["vel"] = (2, 2)
             preds = CenterHead(
-                tasks=tuple(self.tasks), common_heads=common, dtype=self.dtype
+                tasks=tuple(self.tasks), common_heads=common,
+                dcn_head=self.dcn_head, dtype=self.dtype,
             )(x, train)
         if return_feature:
             return preds, x

@@ -136,6 +136,123 @@ def evaluate_detection(
     return results
 
 
+def _iou_matrix_bev(det_boxes: np.ndarray, gt_boxes: np.ndarray) -> np.ndarray:
+    if len(det_boxes) == 0 or len(gt_boxes) == 0:
+        return np.zeros((len(det_boxes), len(gt_boxes)))
+    try:
+        from tdal.ops import native
+
+        return native.boxes_iou_bev(det_boxes, gt_boxes).astype(np.float64)
+    except Exception:
+        import jax.numpy as jnp
+
+        from tdal.core.iou import boxes_iou_bev
+
+        return np.asarray(
+            boxes_iou_bev(
+                jnp.asarray(det_boxes, jnp.float32), jnp.asarray(gt_boxes, jnp.float32)
+            )
+        )
+
+
+def _match_rows(detections, ground_truths, class_idx, iou_fn, thresh):
+    """Greedy score-descending matching for one class. Returns (rows, n_gt)
+    where rows = [(score, tp)] over all detections of the class."""
+    rows, n_gt = [], 0
+    for token, gt in ground_truths.items():
+        gsel = np.asarray(gt["labels"]) == class_idx
+        gboxes = np.asarray(gt["boxes"])[gsel]
+        n_gt += len(gboxes)
+        det = detections.get(token, {"boxes": np.zeros((0, 7)), "scores": [], "labels": []})
+        dsel = np.asarray(det["labels"]) == class_idx
+        dboxes = np.asarray(det["boxes"])[dsel]
+        dscores = np.asarray(det["scores"])[dsel]
+        order = np.argsort(-dscores)
+        iou = iou_fn(dboxes[order], gboxes)
+        taken = np.zeros(len(gboxes), bool)
+        for r, d in enumerate(order):
+            ok = False
+            if iou.shape[1]:
+                j = int(np.argmax(np.where(taken, -1.0, iou[r])))
+                ok = (not taken[j]) and iou[r, j] >= thresh
+            if ok:
+                taken[j] = True
+            rows.append((dscores[d], int(ok)))
+    return rows, n_gt
+
+
+def _ap_r41(rows, n_gt, n_sample_pts: int = 41) -> float:
+    """KITTI-protocol sampled AP: mean over n_sample_pts equally spaced recall
+    positions of the max precision at recall >= r (R41 interpolation;
+    capability parity with reference datasets/utils/eval.py:144-281, which
+    realizes the same sampling through per-threshold statistics)."""
+    if n_gt == 0 or not rows:
+        return 0.0
+    rows = sorted(rows, key=lambda x: -x[0])
+    tp = np.cumsum([r[1] for r in rows])
+    fp = np.cumsum([1 - r[1] for r in rows])
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    # monotone envelope: max precision at recall >= r
+    prec_env = np.maximum.accumulate(precision[::-1])[::-1]
+    samples = np.linspace(0.0, 1.0, n_sample_pts)
+    ap = 0.0
+    for r in samples:
+        idx = np.searchsorted(recall, r, side="left")
+        ap += prec_env[idx] if idx < len(prec_env) else 0.0
+    return float(ap / n_sample_pts)
+
+
+def kitti_style_eval(
+    detections: Dict[str, dict],
+    ground_truths: Dict[str, dict],
+    iou_thresholds: Dict[str, float] = None,
+    class_names: Sequence[str] = CLASS_NAMES,
+    n_sample_pts: int = 41,
+) -> Dict[str, Dict[str, float]]:
+    """KITTI-style AP tables on the in-framework evaluator (capability parity
+    with reference ``datasets/utils/eval.py:9-366``: sampled-recall AP with
+    separate BEV-overlap and 3D-overlap criteria; the image-plane bbox/aos
+    criteria need camera annotations the lidar pipeline doesn't carry).
+
+    Returns {"bev": {cls: ap}, "3d": {cls: ap}} with AP in [0, 100] like the
+    reference's printed tables. Matching is greedy score-descending (the same
+    protocol as :func:`evaluate_detection`)."""
+    iou_thresholds = iou_thresholds or DEFAULT_IOU_THRESH
+    out = {"bev": {}, "3d": {}}
+    for ci, cname in enumerate(class_names):
+        thresh = iou_thresholds.get(cname, 0.5)
+        for metric, iou_fn in (("bev", _iou_matrix_bev), ("3d", _iou_matrix)):
+            rows, n_gt = _match_rows(detections, ground_truths, ci, iou_fn, thresh)
+            if n_gt == 0:
+                continue
+            out[metric][cname] = 100.0 * _ap_r41(rows, n_gt, n_sample_pts)
+    return out
+
+
+def format_kitti_table(
+    results: Dict[str, Dict[str, float]],
+    iou_thresholds: Dict[str, float] = None,
+) -> str:
+    """Render :func:`kitti_style_eval` results as the familiar KITTI-style
+    text table (reference get_official_eval_result capability)."""
+    iou_thresholds = iou_thresholds or DEFAULT_IOU_THRESH
+    lines = []
+    classes = sorted(set(results.get("bev", {})) | set(results.get("3d", {})))
+    for cname in classes:
+        thr = iou_thresholds.get(cname, 0.5)
+        lines.append(f"{cname} AP(R41)@{thr:.2f}:")
+        bev = results.get("bev", {}).get(cname)
+        b3d = results.get("3d", {}).get(cname)
+        lines.append(
+            "bev  AP: " + (f"{bev:.2f}" if bev is not None else "n/a")
+        )
+        lines.append(
+            "3d   AP: " + (f"{b3d:.2f}" if b3d is not None else "n/a")
+        )
+    return "\n".join(lines)
+
+
 def gt_from_annos(infos: Dict[str, dict]) -> Dict[str, dict]:
     """Build the evaluator's GT dict from anno pickles (geometric box7)."""
     from tdal.data.waymo_schema import AnnoStore, box7_from_box9

@@ -168,3 +168,85 @@ def test_class_separation_and_thresholds():
         m = evaluate_detection(dets, gts)
         name = ["VEHICLE", "PEDESTRIAN"][cls]
         assert m[f"{name}_AP"] == pytest.approx(expect, abs=1e-6), name
+
+
+# ---------------------------------------------------------------------------
+# KITTI-style R41 AP tables (VERDICT r3 item 10; reference
+# datasets/utils/eval.py:9-366 capability on the in-framework evaluator)
+# ---------------------------------------------------------------------------
+
+
+def test_kitti_r41_perfect_is_100():
+    from tdal.utils.detection_metrics import format_kitti_table, kitti_style_eval
+
+    gts = {
+        "f0": {
+            "boxes": np.array([_axis_box(0, 0), _axis_box(10, 0)]),
+            "labels": np.array([0, 0]),
+            "num_points": np.array([50, 50]),
+        }
+    }
+    dets = {
+        "f0": {
+            "boxes": np.array([_axis_box(0, 0), _axis_box(10, 0)]),
+            "scores": np.array([0.9, 0.8]),
+            "labels": np.array([0, 0]),
+        }
+    }
+    r = kitti_style_eval(dets, gts)
+    assert r["bev"]["VEHICLE"] == pytest.approx(100.0)
+    assert r["3d"]["VEHICLE"] == pytest.approx(100.0)
+    table = format_kitti_table(r)
+    assert "VEHICLE AP(R41)@0.70" in table and "100.00" in table
+
+
+def test_kitti_r41_hand_sampled_value():
+    """1 TP (score .9) + 1 FP (score .5) over 2 GT: recall tops out at 0.5 with
+    precision envelope 1.0, so exactly the 21 sample points r<=0.5 score 1.0:
+    AP = 21/41 = 51.22."""
+    from tdal.utils.detection_metrics import kitti_style_eval
+
+    gts = {
+        "f0": {
+            "boxes": np.array([_axis_box(0, 0), _axis_box(10, 0)]),
+            "labels": np.array([0, 0]),
+            "num_points": np.array([50, 50]),
+        }
+    }
+    dets = {
+        "f0": {
+            "boxes": np.array([_axis_box(0, 0), _axis_box(100, 100)]),
+            "scores": np.array([0.9, 0.5]),
+            "labels": np.array([0, 0]),
+        }
+    }
+    r = kitti_style_eval(dets, gts)
+    want = 100.0 * 21.0 / 41.0
+    assert r["bev"]["VEHICLE"] == pytest.approx(want, abs=1e-9)
+    assert r["3d"]["VEHICLE"] == pytest.approx(want, abs=1e-9)
+
+
+def test_kitti_bev_vs_3d_criteria_differ():
+    """A detection floated 1m up in z: BEV overlap is perfect (criterion
+    ignores z) but 3D IoU drops to 0.5/2.5 = 0.2 < 0.7 -> FP under 3d."""
+    from tdal.utils.detection_metrics import kitti_style_eval
+
+    gt_box = [0, 0, 0.0, 4.0, 2.0, 1.5, 0.0]
+    det_box = [0, 0, 1.0, 4.0, 2.0, 1.5, 0.0]
+    gts = {
+        "f0": {
+            "boxes": np.array([gt_box]),
+            "labels": np.array([0]),
+            "num_points": np.array([50]),
+        }
+    }
+    dets = {
+        "f0": {
+            "boxes": np.array([det_box]),
+            "scores": np.array([0.9]),
+            "labels": np.array([0]),
+        }
+    }
+    r = kitti_style_eval(dets, gts)
+    assert r["bev"]["VEHICLE"] == pytest.approx(100.0)
+    assert r["3d"]["VEHICLE"] == pytest.approx(0.0)

@@ -94,6 +94,23 @@ def test_static_init_cli(pipeline_data):
     assert "[Static] Box IoU" in log
 
 
+def test_dynamic_init_cli(pipeline_data):
+    """Parity: reference tools/dynamic_init.py:37-139 — the dynamic labeler's
+    no-learning lower bound (init-box IoU over dynamic tracks)."""
+    root = pipeline_data
+    _run_tool(
+        "dynamic_init",
+        [
+            "--track", str(root / "trackDynamic.pkl"),
+            "--infos", str(root / "infos.pkl"),
+            "--work_dir", str(root / "dyn_init_work"),
+        ],
+    )
+    log = (root / "dyn_init_work" / "log" / "init.txt").read_text()
+    assert "[Init] Box IoU" in log
+    assert "Box estimation accuracy" in log
+
+
 def test_dynamic_train_eval_cli(pipeline_data):
     root = pipeline_data
     _run_tool(

@@ -111,6 +111,155 @@ def test_scatter_dense_bev_shape():
     assert bev.shape == (8, 8, 4 * 6)
 
 
+# ---------------------------------------------------------------------------
+# Golden cases hand-computed from spconv's DOCUMENTED semantics (VERDICT r3
+# item 8) — closing the residual risk that the dense-conv oracle shares a bug
+# with the implementation, or misses active-set semantics (a site whose conv
+# value is 0 must still be ACTIVE if any input hits its receptive field).
+#
+# spconv SparseConv3d(k=3, s=2, p=1) semantics (reference
+# det3d/models/backbones/scn.py:100-146 uses exactly k3/s2/p1 and a final
+# (3,1,1)/(2,1,1)):
+#   - out spatial size per axis: floor((D + 2*1 - 3)/2) + 1 = (D+1)//2
+#   - output site o is active iff ANY active input i satisfies 2o-1 <= i <= 2o+1
+#     per axis (its receptive field), regardless of feature values
+#   - value: out[o] = sum_k w[k]^T in[2o + k - 1]  (cross-correlation)
+# SubMConv3d: output sites == input sites; out[p] = sum_k w[k]^T in[p + k - 1]
+# over ACTIVE inputs only.
+# ---------------------------------------------------------------------------
+
+
+def _pack(coord_list, feat_list, v_cap, c):
+    coords = np.zeros((v_cap, 3), np.int32)
+    feats = np.zeros((v_cap, c), np.float32)
+    for i, (cc, ff) in enumerate(zip(coord_list, feat_list)):
+        coords[i] = cc
+        feats[i] = ff
+    valid = np.arange(v_cap) < len(coord_list)
+    return jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid)
+
+
+def _tap(kz, ky, kx):
+    return 9 * kz + 3 * ky + kx
+
+
+def _golden_w(c_in=2, c_out=3, seed=5):
+    return np.asarray(jax.random.normal(jax.random.PRNGKey(seed), (27, c_in, c_out)))
+
+
+def test_golden_subm_pair():
+    """Two voxels one x-step apart: each output is its own center tap plus the
+    neighbor through the offset tap (k = offset + 1 per axis)."""
+    grid = (4, 4, 4)
+    f0, f1 = np.array([1.0, 2.0], np.float32), np.array([-3.0, 0.5], np.float32)
+    coords, feats, valid = _pack([(1, 1, 1), (1, 1, 2)], [f0, f1], 8, 2)
+    w = _golden_w()
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    out = np.asarray(subm_conv3d(coords, feats, valid, keys, grid, jnp.asarray(w)))
+    # sorted order keeps (1,1,1) before (1,1,2)
+    want0 = f0 @ w[_tap(1, 1, 1)] + f1 @ w[_tap(1, 1, 2)]  # neighbor at +x -> kx=2
+    want1 = f1 @ w[_tap(1, 1, 1)] + f0 @ w[_tap(1, 1, 0)]  # neighbor at -x -> kx=0
+    np.testing.assert_allclose(out[0], want0, atol=1e-5)
+    np.testing.assert_allclose(out[1], want1, atol=1e-5)
+
+
+def test_golden_down2_corner_voxels():
+    """Single voxels at the (0,0,0) and (D-1,..) corners of an even grid:
+    exactly one output site each, with hand-derived tap weights."""
+    grid = (4, 4, 4)  # out grid (2,2,2)
+    w = _golden_w()
+    f = np.array([2.0, -1.0], np.float32)
+
+    # corner (0,0,0): o must satisfy 2o-1<=0<=2o+1 -> o=0 per axis.
+    # tap k = i - 2o + 1 = 1 per axis -> center tap 13.
+    coords, feats, valid = _pack([(0, 0, 0)], [f], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    assert {tuple(r) for r in np.asarray(oc)[np.asarray(ov)]} == {(0, 0, 0)}
+    np.testing.assert_allclose(np.asarray(ofeat)[np.asarray(ov)][0], f @ w[13], atol=1e-5)
+
+    # corner (3,3,3): candidates o in {1,2}, o=2 is outside the (2,2,2) out
+    # grid -> only o=1 per axis; tap k = 3 - 2 + 1 = 2 per axis -> tap 26.
+    coords, feats, valid = _pack([(3, 3, 3)], [f], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    assert {tuple(r) for r in np.asarray(oc)[np.asarray(ov)]} == {(1, 1, 1)}
+    np.testing.assert_allclose(
+        np.asarray(ofeat)[np.asarray(ov)][0], f @ w[_tap(2, 2, 2)], atol=1e-5
+    )
+
+
+def test_golden_down2_odd_voxel_fans_out_to_8():
+    """A voxel with all-odd coords lies in the receptive field of 2 output
+    positions per axis -> exactly 8 active output sites, each pulling the voxel
+    through the corner-appropriate tap."""
+    grid = (4, 4, 4)
+    w = _golden_w()
+    f = np.array([1.5, 4.0], np.float32)
+    coords, feats, valid = _pack([(1, 1, 1)], [f], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    got = {tuple(r): i for i, r in enumerate(np.asarray(oc)) if np.asarray(ov)[i]}
+    assert set(got) == {(z, y, x) for z in (0, 1) for y in (0, 1) for x in (0, 1)}
+    for (oz, oy, ox), row in got.items():
+        # tap k = 1 - 2*o + 1 = 2 - 2*o per axis
+        want = f @ w[_tap(2 - 2 * oz, 2 - 2 * oy, 2 - 2 * ox)]
+        np.testing.assert_allclose(np.asarray(ofeat)[row], want, atol=1e-5)
+
+
+def test_golden_down2_sum_and_odd_grid_border():
+    """(a) Two voxels landing on one output site sum their tap contributions.
+    (b) Odd grid: last voxel maps to the single final output site (o=(D-1)/2)."""
+    grid = (4, 4, 4)
+    w = _golden_w()
+    f0 = np.array([1.0, 1.0], np.float32)
+    f1 = np.array([0.0, 2.0], np.float32)
+    coords, feats, valid = _pack([(0, 0, 0), (1, 1, 1)], [f0, f1], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    got = {tuple(r): i for i, r in enumerate(np.asarray(oc)) if np.asarray(ov)[i]}
+    want000 = f0 @ w[13] + f1 @ w[_tap(2, 2, 2)]
+    np.testing.assert_allclose(np.asarray(ofeat)[got[(0, 0, 0)]], want000, atol=1e-5)
+
+    grid5 = (5, 5, 5)  # out grid (3,3,3)
+    coords, feats, valid = _pack([(4, 4, 4)], [f0], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid5)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid5, jnp.asarray(w), 16)
+    # candidates {4//2, 5//2} = {2} per axis; tap k = 4 - 4 + 1 = 1 -> center.
+    assert {tuple(r) for r in np.asarray(oc)[np.asarray(ov)]} == {(2, 2, 2)}
+    np.testing.assert_allclose(np.asarray(ofeat)[np.asarray(ov)][0], f0 @ w[13], atol=1e-5)
+
+
+def test_golden_active_site_independent_of_values():
+    """spconv marks output sites from GEOMETRY, not values: a zero-feature
+    input must still produce an ACTIVE output site (value 0). The dense oracle
+    cannot see this distinction."""
+    grid = (4, 4, 4)
+    w = _golden_w()
+    coords, feats, valid = _pack([(2, 2, 2)], [np.zeros(2, np.float32)], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_down2(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    got = {tuple(r) for r in np.asarray(oc)[np.asarray(ov)]}
+    assert got == {(1, 1, 1)}  # active despite zero value
+    np.testing.assert_allclose(np.asarray(ofeat)[np.asarray(ov)][0], 0.0, atol=1e-7)
+
+
+def test_golden_downz():
+    """(3,1,1)/(2,1,1) final z-compression (scn.py:139-144): voxel at z=4 in
+    nz=5 -> single site z=2 via the center z-tap."""
+    from tdal.ops.sparse_conv import sparse_conv3d_downz
+
+    grid = (5, 4, 4)  # out (3, 4, 4)
+    w = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (3, 2, 3)))
+    f = np.array([3.0, -2.0], np.float32)
+    coords, feats, valid = _pack([(4, 1, 2)], [f], 8, 2)
+    coords, feats, valid, keys = sort_voxels(coords, feats, valid, grid)
+    oc, ofeat, ov, _ = sparse_conv3d_downz(coords, feats, valid, keys, grid, jnp.asarray(w), 16)
+    assert {tuple(r) for r in np.asarray(oc)[np.asarray(ov)]} == {(2, 1, 2)}
+    # z tap k = 4 - 2*2 + 1 = 1 (center of the 3 z-taps)
+    np.testing.assert_allclose(np.asarray(ofeat)[np.asarray(ov)][0], f @ w[1], atol=1e-5)
+
+
 def test_sparse_backbone_forward_and_grad():
     from tdal.models.scn_sparse import SparseMiddleBackbone
 
