@@ -476,7 +476,7 @@ def measure_pipeline_e2e(n_frames=16):
     return measure(n_frames=n_frames)
 
 
-def measure_detector_ap_synthetic(epochs=30):
+def measure_detector_ap_synthetic(epochs=60, n_scenes=4, n_frames=16, bsz=8):
     """From-scratch short train of the synthetic PointPillars config, scored by
     the in-framework AP evaluator — the driver-visible detector-quality gate
     (VERDICT r3 item 5). Guards the whole train path (data -> targets -> train
@@ -511,8 +511,8 @@ def measure_detector_ap_synthetic(epochs=30):
 
     with tempfile.TemporaryDirectory() as tmp:
         infos, _ = make_synthetic_dataset(
-            tmp, n_scenes=4, n_frames=16, seed=1, n_static=3, n_dynamic=2,
-            points_per_object=200, n_background=1500,
+            tmp, n_scenes=n_scenes, n_frames=n_frames, seed=1, n_static=3,
+            n_dynamic=2, points_per_object=200, n_background=1500,
         )
         cfg = Config.fromfile(str(_ROOT / "configs/synthetic/pp_tiny.py"))
         voxel_cfg = build_voxel_config(cfg.voxel_generator, train=True)
@@ -528,7 +528,6 @@ def measure_detector_ap_synthetic(epochs=30):
             infos, class_names=names, assigner=assigner, voxel_cfg=voxel_cfg,
             mode="val", max_points=4096, shuffle_points=False,
         )
-        bsz = 8
         steps = max(1, len(train_ds) // bsz) * epochs
         lr, mom = one_cycle(1e-3, steps)
         tx = adam_with_schedule(lr, weight_decay=0.01, grad_clip=35.0, momentum_schedule=mom)

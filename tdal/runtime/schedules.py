@@ -5,7 +5,10 @@ Covers the reference's two schedule families:
   lr * 0.7^(epoch//20), floored by an eta_min rule)
 - fastai OneCycle (cosine-annealed lr + momentum, det3d/solver/
   learning_schedules_fastai.py:77-97) used by detector training
-- the warmup-wrapped policies of torchie LrUpdaterHook (lr_updater.py:10-167)
+- the full torchie LrUpdaterHook policy surface (lr_updater.py:10-175):
+  fixed/step/exp/poly/inv/cosine, each composable with ``with_warmup``
+  (constant/linear/exp ramps). Only one_cycle and the labeler step decay are
+  exercised by shipped configs; the rest are surface parity.
 """
 
 from __future__ import annotations
@@ -74,6 +77,71 @@ def one_cycle(
         )
 
     return lr_schedule, momentum_schedule
+
+
+def fixed_lr(base_lr: float):
+    """Parity: torchie FixedLrUpdaterHook (lr_updater.py:85-90)."""
+
+    def schedule(step):
+        return jnp.full_like(jnp.asarray(step, jnp.float32), base_lr)
+
+    return schedule
+
+
+def step_lr(base_lr: float, step_size, gamma: float = 0.1, steps_per_epoch: int = 1):
+    """Parity: torchie StepLrUpdaterHook (lr_updater.py:93-119).
+
+    ``step_size`` is an int (decay every N epochs) or a list of epoch
+    milestones; ``steps_per_epoch=1`` reproduces by_epoch=False."""
+
+    def schedule(step):
+        progress = step // steps_per_epoch
+        if isinstance(step_size, int):
+            exp = progress // step_size
+        else:
+            milestones = jnp.asarray(list(step_size))
+            exp = (progress >= milestones).sum()
+        return base_lr * gamma ** exp
+
+    return schedule
+
+
+def exp_lr(base_lr: float, gamma: float, steps_per_epoch: int = 1):
+    """Parity: torchie ExpLrUpdaterHook (lr_updater.py:122-129)."""
+
+    def schedule(step):
+        return base_lr * gamma ** (step // steps_per_epoch)
+
+    return schedule
+
+
+def poly_lr(base_lr: float, total_steps: int, power: float = 1.0, min_lr: float = 0.0):
+    """Parity: torchie PolyLrUpdaterHook (lr_updater.py:132-146)."""
+
+    def schedule(step):
+        coeff = (1.0 - jnp.minimum(step, total_steps) / total_steps) ** power
+        return (base_lr - min_lr) * coeff + min_lr
+
+    return schedule
+
+
+def inv_lr(base_lr: float, gamma: float, power: float = 1.0, steps_per_epoch: int = 1):
+    """Parity: torchie InvLrUpdaterHook (lr_updater.py:149-157)."""
+
+    def schedule(step):
+        return base_lr * (1.0 + gamma * (step // steps_per_epoch)) ** (-power)
+
+    return schedule
+
+
+def cosine_lr(base_lr: float, total_steps: int, target_lr: float = 0.0):
+    """Parity: torchie CosineLrUpdaterHook (lr_updater.py:160-175)."""
+
+    def schedule(step):
+        pct = jnp.minimum(step, total_steps) / total_steps
+        return target_lr + 0.5 * (base_lr - target_lr) * (1.0 + jnp.cos(np.pi * pct))
+
+    return schedule
 
 
 def with_warmup(schedule, warmup_steps: int, warmup_ratio: float = 1.0 / 3.0, mode: str = "linear"):

@@ -240,3 +240,47 @@ def test_async_checkpoint_roundtrip(tmp_path):
     restored, meta = mgr.restore(target=tree)  # restore() waits internally
     np.testing.assert_allclose(restored["params"]["w"], 1.0)
     assert mgr.best_step() == 2
+
+
+def test_torchie_lr_policy_surface():
+    """The six torchie LrUpdaterHook policies (lr_updater.py:85-175) pinned to
+    the reference formulas at hand-picked steps."""
+    import numpy as np
+
+    from tdal.runtime.schedules import (
+        cosine_lr,
+        exp_lr,
+        fixed_lr,
+        inv_lr,
+        poly_lr,
+        step_lr,
+        with_warmup,
+    )
+
+    assert float(fixed_lr(0.01)(123)) == pytest.approx(0.01)
+    # step: int step_size -> gamma^(progress//N)
+    s = step_lr(0.1, 3, gamma=0.5)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(3)) == pytest.approx(0.05)
+    assert float(s(7)) == pytest.approx(0.025)
+    # step: milestone list -> gamma^(#milestones passed)
+    s = step_lr(0.1, [2, 5], gamma=0.1)
+    assert float(s(1)) == pytest.approx(0.1)
+    assert float(s(2)) == pytest.approx(0.01)
+    assert float(s(5)) == pytest.approx(0.001)
+    assert float(exp_lr(0.1, 0.9)(10)) == pytest.approx(0.1 * 0.9**10)
+    # poly: (base-min)*(1-p/P)^pow + min
+    assert float(poly_lr(0.1, 100, power=2.0, min_lr=0.01)(50)) == pytest.approx(
+        (0.1 - 0.01) * 0.25 + 0.01
+    )
+    assert float(inv_lr(0.1, gamma=0.01, power=2.0)(100)) == pytest.approx(
+        0.1 * (1 + 0.01 * 100) ** -2.0
+    )
+    c = cosine_lr(0.1, 100, target_lr=0.02)
+    assert float(c(0)) == pytest.approx(0.1)
+    assert float(c(100)) == pytest.approx(0.02)
+    assert float(c(50)) == pytest.approx(0.02 + 0.5 * 0.08)
+    # warmup composition keeps the torchie ramp semantics
+    w = with_warmup(fixed_lr(0.1), warmup_steps=10, warmup_ratio=0.5, mode="linear")
+    assert float(w(0)) == pytest.approx(0.05)
+    assert float(w(10)) == pytest.approx(0.1)
