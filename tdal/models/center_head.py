@@ -51,13 +51,13 @@ class SepHead(nn.Module):
 
         ``pre=(scale, shift)``: the producing FusedConvBN's normalize+ReLU,
         applied to ``h`` on this conv's input side (h is the RAW conv output).
-        On the TPU train path this rides the Pallas kernel's input pass in
-        VMEM with cout padded to 64 — the normalized 320-ch activation never
-        touches HBM and XLA's 43 GB/s tiny-output conv is avoided (trace:
-        fusion.39 6.5 ms fwd + 3.7 wgrad + 1.6 dgrad + 1.05 normalize at
-        B=2, benchmarks/prof_trace.py). A plain (unchained) Pallas variant
-        was measured SLOWER (122.8 vs 105 ms full step) — the win here needs
-        the chaining, not just the kernel."""
+        The round-3 plan routed the FINAL masked conv through the Pallas
+        in_act path this way, but the round-4 same-session A/B showed the
+        full train step is 5.6 ms FASTER with that chain off (101.5 vs
+        107.1 ms @B=2, RESULTS.md "Round-4 hardware A/B") — the backward
+        recompute outweighs the forward save — so SepHead no longer emits
+        a chain into this conv; ``pre`` support remains for the
+        shared-conv -> first-branch-conv chain, which does win."""
         import numpy as np
 
         k = self.final_kernel
@@ -140,10 +140,13 @@ class SepHead(nn.Module):
                         hc * g, use_bias=True, momentum=0.9, epsilon=1e-5,
                         dtype=self.dtype, name=f"branch_convbn{d}",
                     )
-                    if depth == 2:
-                        h, fpre = mod(h, train, pre=pre, emit_raw=True)
-                    else:
-                        h = mod(h, train, pre=pre)
+                    # Round-4 HW A/B (RESULTS.md): chaining the FINAL masked
+                    # conv through the Pallas in_act path regressed the full
+                    # train step 101.5 -> 107.1 ms (the backward recompute
+                    # outweighs the forward save); the shared-conv -> branch
+                    # chain (pre=pre here) still wins and stays.
+                    h = mod(h, train, pre=pre)
+                    fpre = None
                     pre = None
                     continue
                 if pre is not None:  # unchained first layer: materialize

@@ -78,8 +78,9 @@ def scatter_to_grid3d(features, coords, valid, nz: int, ny: int, nx: int):
 
 class MiddleBackbone(nn.Module):
     """Voxel features -> BEV feature map, channel plan of SpMiddleResNetFHD
-    (scn.py:85-146): 16 -> [16] -> s2 32 -> [32,32] -> s2 64 -> [64,64] ->
-    s2 128 -> [128,128] -> z-stride 128 -> flatten z into channels."""
+    (scn.py:85-146): 16 -> [16,16] -> s2 32 -> [32,32] -> s2 64 -> [64,64] ->
+    s2 128 -> [128,128] -> z-stride 128 -> flatten z into channels (two
+    SparseBasicBlocks per stage, scn.py:104-137)."""
 
     grid_size: Tuple[int, int, int]  # (nz, ny, nx)
     dtype: jnp.dtype = jnp.float32
@@ -90,11 +91,15 @@ class MiddleBackbone(nn.Module):
         x = scatter_to_grid3d(voxel_features, coords, valid, nz, ny, nx)
         x = Conv3DBNReLU(16, dtype=self.dtype)(x, train)
         x = BasicBlock3D(16, dtype=self.dtype)(x, train)
+        x = BasicBlock3D(16, dtype=self.dtype)(x, train)
         x = Conv3DBNReLU(32, stride=(2, 2, 2), dtype=self.dtype)(x, train)
+        x = BasicBlock3D(32, dtype=self.dtype)(x, train)
         x = BasicBlock3D(32, dtype=self.dtype)(x, train)
         x = Conv3DBNReLU(64, stride=(2, 2, 2), dtype=self.dtype)(x, train)
         x = BasicBlock3D(64, dtype=self.dtype)(x, train)
+        x = BasicBlock3D(64, dtype=self.dtype)(x, train)
         x = Conv3DBNReLU(128, stride=(2, 2, 2), dtype=self.dtype)(x, train)
+        x = BasicBlock3D(128, dtype=self.dtype)(x, train)
         x = BasicBlock3D(128, dtype=self.dtype)(x, train)
         # Extra z-compression (scn.py:139-144: stride (2,1,1) over depth).
         x = Conv3DBNReLU(128, kernel=(3, 1, 1), stride=(2, 1, 1), dtype=self.dtype)(

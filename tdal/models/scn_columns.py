@@ -37,6 +37,8 @@ class ColumnMiddleBackbone(nn.Module):
     grid_size: Tuple[int, int, int]  # (nz, ny, nx)
     channels: Sequence[int] = (16, 32, 64, 128)
     column_caps: Sequence[int] = None  # per-resolution column buffer sizes
+    # Reference scn.py:104-137: every stage carries TWO SparseBasicBlocks.
+    blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.float32
 
     def _bn_relu(self, x, occ, valid, nz, train, residual=None):
@@ -70,7 +72,13 @@ class ColumnMiddleBackbone(nn.Module):
         blocks, downs = [], []
         for i, c in enumerate(chans):
             blocks.append(
-                (self._subm(f"w_blk{i}_a", c, c), self._subm(f"w_blk{i}_b", c, c))
+                [
+                    (
+                        self._subm(f"w_blk{i}_{j}_a", c, c),
+                        self._subm(f"w_blk{i}_{j}_b", c, c),
+                    )
+                    for j in range(self.blocks_per_stage)
+                ]
             )
             if i + 1 < len(chans):
                 downs.append(self._subm(f"w_down{i}", c, chans[i + 1]))
@@ -98,17 +106,19 @@ class ColumnMiddleBackbone(nn.Module):
         for i, c in enumerate(chans):
             g = grid
             nz_i = nz
-            wa = blocks[i][0].astype(self.dtype)
-            wb = blocks[i][1].astype(self.dtype)
-            y = jax.vmap(
-                lambda f_, o_, ni_, nf_: subm_conv_columns(f_, o_, ni_, nf_, wa, nz_i)
-            )(x, col_occ, *nbrs)
-            y = self._bn_relu(y, col_occ, col_valid, nz_i, train)
-            y = jax.vmap(
-                lambda f_, o_, ni_, nf_: subm_conv_columns(f_, o_, ni_, nf_, wb, nz_i)
-            )(y, col_occ, *nbrs)
-            # residual add inside BN wrapper (scn.py:37-80 SparseBasicBlock)
-            x = self._bn_relu(y, col_occ, col_valid, nz_i, train, residual=x)
+            # TWO residual SparseBasicBlocks per stage (scn.py:37-80,104-137)
+            for wa_p, wb_p in blocks[i]:
+                wa = wa_p.astype(self.dtype)
+                wb = wb_p.astype(self.dtype)
+                y = jax.vmap(
+                    lambda f_, o_, ni_, nf_: subm_conv_columns(f_, o_, ni_, nf_, wa, nz_i)
+                )(x, col_occ, *nbrs)
+                y = self._bn_relu(y, col_occ, col_valid, nz_i, train)
+                y = jax.vmap(
+                    lambda f_, o_, ni_, nf_: subm_conv_columns(f_, o_, ni_, nf_, wb, nz_i)
+                )(y, col_occ, *nbrs)
+                # residual add inside BN wrapper (scn.py:37-80 SparseBasicBlock)
+                x = self._bn_relu(y, col_occ, col_valid, nz_i, train, residual=x)
 
             if i + 1 < len(chans):
                 cap = int(caps[i + 1]) if i + 1 < len(caps) else v

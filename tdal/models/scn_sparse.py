@@ -38,6 +38,8 @@ class SparseMiddleBackbone(nn.Module):
     grid_size: Tuple[int, int, int]  # (nz, ny, nx)
     channels: Sequence[int] = (16, 32, 64, 128)
     voxel_caps: Sequence[int] = None  # per-downsample V buffer sizes
+    # Reference scn.py:104-137: every stage carries TWO SparseBasicBlocks.
+    blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.float32
 
     def _bn_relu(self, x, valid, train):
@@ -62,7 +64,13 @@ class SparseMiddleBackbone(nn.Module):
         blocks, downs = [], []
         for i, c in enumerate(chans):
             blocks.append(
-                (self._subm(f"w_blk{i}_a", c, c), self._subm(f"w_blk{i}_b", c, c))
+                [
+                    (
+                        self._subm(f"w_blk{i}_{j}_a", c, c),
+                        self._subm(f"w_blk{i}_{j}_b", c, c),
+                    )
+                    for j in range(self.blocks_per_stage)
+                ]
             )
             if i + 1 < len(chans):
                 downs.append(self._subm(f"w_down{i}", c, chans[i + 1]))
@@ -92,25 +100,26 @@ class SparseMiddleBackbone(nn.Module):
         grid = grid0
 
         for i, c in enumerate(chans):
-            # residual SparseBasicBlock (scn.py:37-80)
+            # TWO residual SparseBasicBlocks per stage (scn.py:37-80,104-137)
             g = grid
-            y = vm(
-                lambda cc, ff, mm, kk, nb: subm_conv3d(
-                    cc, ff, mm, kk, g, blocks[i][0], neighbors=nb
-                ),
-                coords, x, valid, keys, nbrs,
-            )
-            y = self._bn_relu(y, valid, train)
-            y = vm(
-                lambda cc, ff, mm, kk, nb: subm_conv3d(
-                    cc, ff, mm, kk, g, blocks[i][1], neighbors=nb
-                ),
-                coords, y, valid, keys, nbrs,
-            )
-            y = MaskedBatchNorm(dtype=self.dtype)(
-                y, mask=valid.astype(y.dtype), train=train
-            )
-            x = nn.relu(y + x) * valid[..., None]
+            for wa, wb in blocks[i]:
+                y = vm(
+                    lambda cc, ff, mm, kk, nb: subm_conv3d(
+                        cc, ff, mm, kk, g, wa, neighbors=nb
+                    ),
+                    coords, x, valid, keys, nbrs,
+                )
+                y = self._bn_relu(y, valid, train)
+                y = vm(
+                    lambda cc, ff, mm, kk, nb: subm_conv3d(
+                        cc, ff, mm, kk, g, wb, neighbors=nb
+                    ),
+                    coords, y, valid, keys, nbrs,
+                )
+                y = MaskedBatchNorm(dtype=self.dtype)(
+                    y, mask=valid.astype(y.dtype), train=train
+                )
+                x = nn.relu(y + x) * valid[..., None]
 
             if i + 1 < len(chans):
                 cap = int(caps[i + 1]) if i + 1 < len(caps) else v
