@@ -89,6 +89,64 @@ def main():
     )(cs, f16, ms, ks, table)
     bench("build_bitmap_table L1", lambda k, mm: build_bitmap_table(k, mm, g1), k1, m1)
 
+    # 5b. elementwise passes (the round-3 "BN/residual" bucket): masked BN
+    # affine + relu and a residual add at the L0 shape
+    sc = jnp.ones((16,), jnp.float32)
+    bi = jnp.zeros((16,), jnp.float32)
+    bench(
+        "bn_relu_mask L0 (178k x 16)",
+        lambda ff, mm: jax.nn.relu(ff * sc.astype(DT) + bi.astype(DT)) * mm[:, None],
+        f16, ms,
+    )
+    bench("residual_add L0", lambda a, b2_: a + b2_, f16, f16)
+
+    # 5c. final-level ops at their real shapes: (3,188,188) grid, 128ch
+    from tdal.ops.sparse_conv import scatter_dense_bev
+
+    gf = (3, 188, 188)
+    vf = 24000
+    rngf = np.random.default_rng(2)
+    linf = np.sort(rngf.choice(gf[0] * gf[1] * gf[2], vf, replace=False))
+    cf = np.stack(
+        [linf // (gf[1] * gf[2]), (linf // gf[2]) % gf[1], linf % gf[2]], 1
+    ).astype(np.int32)
+    ff128 = jnp.asarray(rngf.normal(size=(vf, 128)), DT)
+    cf = jnp.asarray(cf)
+    mf = jnp.ones((vf,), bool)
+    bench(
+        "scatter_dense_bev final (24k x 128 -> 188^2 x 384)",
+        lambda a, ff, mm: scatter_dense_bev(a, ff, mm, gf),
+        cf, ff128, mf,
+    )
+
+    # 5d. subm conv cost at each level's (V, C) with precomputed neighbors
+    for lvl, (vv, cc_, gg) in enumerate(
+        [(90000, 32, down2_grid(GRID)),
+         (45000, 64, down2_grid(down2_grid(GRID))),
+         (24000, 128, down2_grid(down2_grid(down2_grid(GRID))))], start=1
+    ):
+        rngl = np.random.default_rng(10 + lvl)
+        linl = np.sort(rngl.choice(gg[0] * gg[1] * gg[2], vv, replace=False))
+        cl = np.stack(
+            [linl // (gg[1] * gg[2]), (linl // gg[2]) % gg[1], linl % gg[2]], 1
+        ).astype(np.int32)
+        cl = jnp.asarray(cl)
+        ml = jnp.ones((vv,), bool)
+        kl = jnp.asarray(linl.astype(np.int32))
+        tl = jax.jit(lambda k, mm: build_bitmap_table(k, mm, gg))(kl, ml)
+        nl = jax.jit(lambda a, mm, k, t: subm_neighbors(a, mm, k, gg, table=t))(
+            cl, ml, kl, tl
+        )
+        fl = jnp.asarray(rngl.normal(size=(vv, cc_)), DT)
+        wl = jnp.asarray(rngl.normal(size=(27, cc_, cc_)) * 0.1, DT)
+        bench(
+            f"subm_conv3d L{lvl} ({vv} x {cc_})",
+            lambda a, ff, mm, k, nb, _w=wl, _g=gg: subm_conv3d(
+                a, ff, mm, k, _g, _w, neighbors=nb
+            ),
+            cl, fl, ml, kl, nl,
+        )
+
     # 6. whole backbone, coords as RUNTIME args (matches detector) vs constants
     model = SparseMiddleBackbone(grid_size=GRID, dtype=DT)
     fb, cb, vb = f[None].astype(jnp.float32), c[None], m[None]

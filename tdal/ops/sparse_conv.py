@@ -368,10 +368,19 @@ def sparse_conv3d_downz(coords, feats, valid, keys, grid, weights, v_out: int, b
 
 def scatter_dense_bev(coords, feats, valid, grid):
     """Sparse -> dense (nz, ny, nx, C) -> BEV (ny, nx, nz*C) (spconv .dense() + the
-    reference's z-fold, scn.py:170-176)."""
+    reference's z-fold, scn.py:170-176).
+
+    Every row gets a DISTINCT target slot (invalid rows land in a per-row dump
+    region past the grid) so the scatter is declared unique — without this XLA
+    must assume collisions and serializes (the pillar scatter measured the same
+    way, commit 564e4e0)."""
     nz, ny, nx = grid
-    lin = jnp.where(valid, _linearize(coords, grid), nz * ny * nx)
-    dense = jnp.zeros((nz * ny * nx + 1, feats.shape[-1]), feats.dtype)
-    dense = dense.at[lin].set(feats, mode="drop")[: nz * ny * nx]
+    v = feats.shape[0]
+    n_cells = nz * ny * nx
+    lin = jnp.where(valid, _linearize(coords, grid), n_cells + jnp.arange(v))
+    dense = jnp.zeros((n_cells + v, feats.shape[-1]), feats.dtype)
+    dense = dense.at[lin].set(
+        feats, mode="promise_in_bounds", unique_indices=True
+    )[:n_cells]
     dense = dense.reshape(nz, ny, nx, -1)
     return jnp.transpose(dense, (1, 2, 0, 3)).reshape(ny, nx, -1)
