@@ -597,6 +597,13 @@ def main():
         try:
             result = fn()
             new_est[name] = round(time.monotonic() - t0, 1)
+            # persist immediately: if a later metric overruns and the driver
+            # kills the process, completed measurements still inform the
+            # next run's budgeting
+            try:
+                _STATE_PATH.write_text(json.dumps(new_est, indent=1))
+            except Exception:
+                pass
             return result
         except Exception as e:
             traceback.print_exc()
@@ -613,12 +620,12 @@ def main():
     # Phase B — expensive metrics in descending value order, each behind a
     # remaining-budget check (VERDICT r3 item 1).
     pp = guard("pointpillars", measure_pointpillars, 120)
-    ts_stats = guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 400)
-    vn_stats = guard("voxelnet_full_grid", measure_voxelnet_full_grid, 150)
+    ts_stats = guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 2400)
+    vn_stats = guard("voxelnet_full_grid", measure_voxelnet_full_grid, 700)
     e2e_frames = int(os.environ.get("TDAL_BENCH_E2E_FRAMES", "200"))
     e2e = guard(f"pipeline_e2e_{e2e_frames}f",
-                lambda: measure_pipeline_e2e(n_frames=e2e_frames), 400)
-    ap_gate = guard("detector_ap_synthetic", measure_detector_ap_synthetic, 300)
+                lambda: measure_pipeline_e2e(n_frames=e2e_frames), 900)
+    ap_gate = guard("detector_ap_synthetic", measure_detector_ap_synthetic, 400)
 
     try:
         _STATE_PATH.write_text(json.dumps(new_est, indent=1))
