@@ -43,13 +43,14 @@ because the all-or-nothing bench ran past the driver timeout, rc=124):
 import json
 import os
 import tempfile
+import threading
 import time
 import traceback
 from pathlib import Path
 
 _ROOT = Path(__file__).resolve().parent
 _STATE_PATH = _ROOT / ".bench_state.json"
-BUDGET_S = float(os.environ.get("TDAL_BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("TDAL_BENCH_BUDGET_S", "1200"))
 _T0 = time.monotonic()
 
 
@@ -141,16 +142,21 @@ def measure_torch_cpu_baseline():
     seg, box = SegNet().eval(), BoxNet().eval()
     pts = torch.randn(B, 3, N)
 
+    # CPU timing has no tunnel variance, so short blocks are stable: each
+    # seg+box pair is ~1 s single-core; the device metrics' 400-iter chains
+    # would cost >10 min here and blow the whole bench budget.
+    cpu_iters = 12
+
     def once():
         with torch.no_grad():
             t0 = time.perf_counter()
-            for _ in range(ITERS // 2):
+            for _ in range(cpu_iters):
                 seg(pts)
                 box(pts)
-            return (time.perf_counter() - t0) / (ITERS // 2)
+            return (time.perf_counter() - t0) / cpu_iters
 
     with torch.no_grad():
-        for _ in range(WARMUP):
+        for _ in range(2):
             seg(pts)
             box(pts)
     st = stats_timer(once, repeats=3)
@@ -569,81 +575,39 @@ def _load_state():
         return {}
 
 
-def main():
-    extra = []
-    _enable_compile_cache()
-    try:
-        import jax
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
 
-        backend = jax.default_backend()
-    except Exception:
-        backend = "unknown"
 
-    # Adaptive cost estimates: last measured elapsed x1.4, else cold defaults.
-    state_est = _load_state()
-    new_est = dict(state_est)
+def _assemble_and_print(results, extra, baseline, backend):
+    """Assemble the ONE JSON line from whatever has completed and print it.
 
-    def guard(name, fn, cold_est_s=30.0, reserve_s=15.0):
-        """Run fn if it fits the remaining budget; else emit a skip record.
+    Called exactly once — either by main() after the metric sequence, or by
+    the deadline watchdog if a metric overruns mid-flight (the per-metric
+    budget checks run BEFORE each metric starts; they cannot stop one that
+    blows through its estimate — round 3 lost all perf evidence that way)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
 
-        reserve_s keeps headroom for the final JSON print + cheaper
-        must-run metrics still queued."""
-        est = state_est.get(name, cold_est_s) * (1.4 if name in state_est else 1.0)
-        if _remaining() < est + reserve_s:
-            extra.append({"metric": name, "skipped": "budget",
-                          "est_s": round(est, 1), "remaining_s": round(_remaining(), 1)})
-            return None
-        t0 = time.monotonic()
-        try:
-            result = fn()
-            new_est[name] = round(time.monotonic() - t0, 1)
-            # persist immediately: if a later metric overruns and the driver
-            # kills the process, completed measurements still inform the
-            # next run's budgeting
-            try:
-                _STATE_PATH.write_text(json.dumps(new_est, indent=1))
-            except Exception:
-                pass
-            return result
-        except Exception as e:
-            traceback.print_exc()
-            extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
-            return None
-
-    # Phase A — cheap metrics (seconds each): always captured first.
-    baseline = guard("torch_cpu_baseline", measure_torch_cpu_baseline, 30) or 1.0
-    fwd_stats = guard("static_labeler_forward", measure_labeler_forward, 60)
-    vox_stats = guard("voxelize", measure_voxelize, 30)
-    dyn_stats = guard("dynamic_labeler", measure_dynamic_labeler, 60)
-    td_stats = guard("trackdata_extraction", measure_trackdata_extraction, 60)
-
-    # Phase B — expensive metrics in descending value order, each behind a
-    # remaining-budget check (VERDICT r3 item 1).
-    pp = guard("pointpillars", measure_pointpillars, 120)
-    ts_stats = guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 2400)
-    vn_stats = guard("voxelnet_full_grid", measure_voxelnet_full_grid, 700)
-    e2e_frames = int(os.environ.get("TDAL_BENCH_E2E_FRAMES", "200"))
-    e2e = guard(f"pipeline_e2e_{e2e_frames}f",
-                lambda: measure_pipeline_e2e(n_frames=e2e_frames), 900)
-    ap_gate = guard("detector_ap_synthetic", measure_detector_ap_synthetic, 400)
-
-    try:
-        _STATE_PATH.write_text(json.dumps(new_est, indent=1))
-    except Exception:
-        traceback.print_exc()
-
+    ap_gate = results.get("detector_ap_synthetic")
     if ap_gate:
         extra.append({"metric": "detector_ap_synthetic", "value": ap_gate["ap_iou03"],
                       "unit": f"VEHICLE AP@IoU0.3, {ap_gate['epochs']}ep from scratch",
                       "all": ap_gate["metrics"]})
+    vn_stats = results.get("voxelnet_full_grid")
     if vn_stats:
         extra.append({"metric": "voxelnet_forward_ms_full_grid",
                       **_stats_ms(vn_stats),
                       "unit": "ms/frame (41x1504x1504, 178k voxels)"})
+    ts_stats = results.get("voxelnet_two_stage")
     if ts_stats:
         extra.append({"metric": "voxelnet_two_stage_predict_ms_per_frame",
                       **_stats_ms(ts_stats),
                       "unit": "ms/frame (production offboard config, B=2)"})
+    pp = results.get("pointpillars")
     if pp:
         train_stats, pred_stats, pp_tflops, pp_mfu = pp
         extra.append({"metric": "pointpillars_train_step_ms_b2",
@@ -657,16 +621,20 @@ def main():
         }
         extra.append({"metric": "detector_frames_per_sec_b2", **fps,
                       "unit": "frames/sec (decode+NMS incl.)"})
+    vox_stats = results.get("voxelize")
     if vox_stats:
         extra.append({"metric": "voxelize_180k_points_ms", **_stats_ms(vox_stats),
                       "unit": "ms"})
+    dyn_stats = results.get("dynamic_labeler")
     if dyn_stats:
         extra.append({"metric": "dynamic_labeler_train_step_ms_b32",
                       **_stats_ms(dyn_stats), "unit": "ms"})
+    td_stats = results.get("trackdata_extraction")
     if td_stats:
         extra.append({"metric": "trackdata_extraction_ms_per_frame",
                       **_stats_ms(td_stats),
                       "unit": "ms/frame (CANONICAL: 24f, 128 boxes, 28k pts, tracking)"})
+    e2e = next((v for k, v in results.items() if k.startswith("pipeline_e2e")), None)
     if e2e:
         extra.append({"metric": "pipeline_end_to_end_frames_per_sec",
                       "value": round(e2e["frames_per_sec"], 2),
@@ -674,6 +642,7 @@ def main():
                               f"{e2e['n_frames']}f segment)",
                       "stage_s": e2e["stage_s"]})
 
+    fwd_stats = results.get("static_labeler_forward")
     if fwd_stats:
         value = B / fwd_stats["median"]
         vmin, vmax = B / fwd_stats["max"], B / fwd_stats["min"]
@@ -688,13 +657,115 @@ def main():
                 "min": round(vmin, 1),
                 "max": round(vmax, 1),
                 "unit": "object point-sets/sec",
-                "vs_baseline": round(value / baseline, 2),
+                "vs_baseline": round(value / baseline, 2) if baseline else 0.0,
                 "budget_s": BUDGET_S,
                 "elapsed_s": round(time.monotonic() - _T0, 1),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    extra = []
+    results = {}
+    _enable_compile_cache()
+    try:
+        import jax
+
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
+
+    # Adaptive cost estimates: last measured elapsed x1.4, else cold defaults.
+    state_est = _load_state()
+    new_est = dict(state_est)
+    in_flight = [None]
+
+    # Deadline watchdog: if a metric overruns past the budget (+grace), print
+    # the line from completed results and exit 0 — the ONE JSON line always
+    # reaches the driver even when a single metric stalls (tunnel slow phase,
+    # uncached compile). Grace covers a final host fetch in flight.
+    baseline_box = [state_est.get("torch_cpu_baseline_value", 0.0)]
+
+    def _watchdog():
+        rem = BUDGET_S + 90.0 - (time.monotonic() - _T0)
+        if rem > 0:
+            time.sleep(rem)
+        if not _EMITTED:
+            if in_flight[0]:
+                extra.append({"metric": in_flight[0], "skipped": "deadline",
+                              "note": "overran its estimate; killed by watchdog"})
+            _assemble_and_print(results, extra, baseline_box[0], backend)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def guard(name, fn, cold_est_s=30.0, reserve_s=15.0):
+        """Run fn if it fits the remaining budget; else emit a skip record.
+
+        reserve_s keeps headroom for the final JSON print + cheaper
+        must-run metrics still queued."""
+        est = state_est.get(name, cold_est_s) * (1.4 if name in state_est else 1.0)
+        if _remaining() < est + reserve_s:
+            extra.append({"metric": name, "skipped": "budget",
+                          "est_s": round(est, 1), "remaining_s": round(_remaining(), 1)})
+            return None
+        t0 = time.monotonic()
+        in_flight[0] = name
+        try:
+            result = fn()
+            new_est[name] = round(time.monotonic() - t0, 1)
+            # persist immediately: if a later metric overruns and the driver
+            # kills the process, completed measurements still inform the
+            # next run's budgeting
+            try:
+                _STATE_PATH.write_text(json.dumps(new_est, indent=1))
+            except Exception:
+                pass
+            if result is not None:
+                results[name] = result
+            return result
+        except Exception as e:
+            traceback.print_exc()
+            extra.append({"metric": name, "error": f"{type(e).__name__}: {e}"})
+            return None
+        finally:
+            in_flight[0] = None
+
+    # Phase A — the headline metric first (it anchors the JSON line), then the
+    # cheap metrics (seconds each).
+    guard("static_labeler_forward", measure_labeler_forward, 120)
+    baseline = guard("torch_cpu_baseline", measure_torch_cpu_baseline, 60)
+    if baseline:
+        new_est["torch_cpu_baseline_value"] = round(baseline, 1)
+    else:
+        # budget-skipped or failed: the torch reference speed is a property of
+        # this machine, not of tdal code — reuse the last measured value so
+        # vs_baseline stays meaningful instead of dividing by 1.0
+        baseline = state_est.get("torch_cpu_baseline_value", 1.0)
+    baseline_box[0] = baseline
+    guard("voxelize", measure_voxelize, 30)
+    guard("dynamic_labeler", measure_dynamic_labeler, 60)
+    guard("trackdata_extraction", measure_trackdata_extraction, 60)
+
+    # Phase B — expensive metrics in descending value order, each behind a
+    # remaining-budget check (VERDICT r3 item 1).
+    guard("pointpillars", measure_pointpillars, 200)
+    guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 2400)
+    guard("voxelnet_full_grid", measure_voxelnet_full_grid, 700)
+    e2e_frames = int(os.environ.get("TDAL_BENCH_E2E_FRAMES", "200"))
+    guard(f"pipeline_e2e_{e2e_frames}f",
+          lambda: measure_pipeline_e2e(n_frames=e2e_frames), 900)
+    guard("detector_ap_synthetic", measure_detector_ap_synthetic, 400)
+
+    try:
+        _STATE_PATH.write_text(json.dumps(new_est, indent=1))
+    except Exception:
+        traceback.print_exc()
+
+    _assemble_and_print(results, extra, baseline, backend)
 
 
 if __name__ == "__main__":
