@@ -70,10 +70,17 @@ def measure(
     npoints_static: int = 4096,
     npoints_dynamic: int = 1024,
     score_thresh: float = 0.1,
+    warm_frames: int = None,
     logger=None,
 ) -> dict:
     """Run the full chain twice (warm compile, then timed) and return
-    {"frames_per_sec", "n_frames", "stage_s": {...}}."""
+    {"frames_per_sec", "n_frames", "stage_s": {...}}.
+
+    The warm pass runs on a SHORT segment (warm_frames, default min(16,
+    n_frames)): every compiled shape is segment-length-independent (fixed
+    detector batch/max_points, fixed labeler crop/batch sizes), so a 16-frame
+    warm chain compiles everything a 200-frame timed chain needs at ~1/12 the
+    cost."""
     import importlib.util
     import logging
     import tempfile
@@ -120,21 +127,26 @@ def measure(
     trackdata_tool = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(trackdata_tool)
 
+    warm_frames = min(n_frames, warm_frames or 16)
+
     with tempfile.TemporaryDirectory() as tmp:
-        infos, _scenes = make_synthetic_dataset(
-            tmp, n_scenes=1, n_frames=n_frames, seed=0,
-            n_static=n_static, n_dynamic=n_dynamic,
-            points_per_object=points_per_object, n_background=n_background,
-        )
-        info_map = reorganize_info(infos)
-        annos = AnnoStore(info_map)
         (cfg, voxel_cfg, detector, assigner, test_cfg, code_weights, state
          ) = _build_detector_stack(max_points)
-        ds = DetectionDataset(
-            infos, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
-            assigner=assigner, voxel_cfg=voxel_cfg, mode="val",
-            max_points=max_points, shuffle_points=False,
-        )
+
+        def build_segment(sub, frames, seed):
+            infos, _scenes = make_synthetic_dataset(
+                str(Path(tmp) / sub), n_scenes=1, n_frames=frames, seed=seed,
+                n_static=n_static, n_dynamic=n_dynamic,
+                points_per_object=points_per_object, n_background=n_background,
+            )
+            info_map = reorganize_info(infos)
+            annos = AnnoStore(info_map)
+            ds = DetectionDataset(
+                infos, class_names=["VEHICLE", "PEDESTRIAN", "CYCLIST"],
+                assigner=assigner, voxel_cfg=voxel_cfg, mode="val",
+                max_points=max_points, shuffle_points=False,
+            )
+            return info_map, annos, ds
 
         # fresh-init labelers (see module docstring)
         s_model, _, s_inputs, s_kind = make_labeler("one_box_est")
@@ -153,7 +165,7 @@ def measure(
             )
             return TrainState.create(p, optax.adam(1e-3), bs)
 
-        def run_chain(out_root):
+        def run_chain(out_root, info_map, annos, ds):
             stage_s = {}
             out = Path(out_root)
             out.mkdir(exist_ok=True)
@@ -223,8 +235,10 @@ def measure(
             stage_s["dynamic_label"] = time.perf_counter() - t0
             return stage_s
 
-        run_chain(Path(tmp) / "warm")  # compile warm-up pass
-        stage_s = run_chain(Path(tmp) / "timed")
+        wm_map, wm_annos, wm_ds = build_segment("warm_seg", warm_frames, seed=1)
+        run_chain(Path(tmp) / "warm", wm_map, wm_annos, wm_ds)  # compile warm-up
+        info_map, annos, ds = build_segment("timed_seg", n_frames, seed=0)
+        stage_s = run_chain(Path(tmp) / "timed", info_map, annos, ds)
         total = sum(stage_s.values())
         return {
             "frames_per_sec": n_frames / total,
