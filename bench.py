@@ -702,11 +702,18 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    only = os.environ.get("TDAL_BENCH_ONLY")
+
     def guard(name, fn, cold_est_s=30.0, reserve_s=15.0):
         """Run fn if it fits the remaining budget; else emit a skip record.
 
         reserve_s keeps headroom for the final JSON print + cheaper
-        must-run metrics still queued."""
+        must-run metrics still queued. TDAL_BENCH_ONLY=<substring> restricts
+        the run to matching metrics (maintenance: re-seed one metric's
+        .bench_state.json estimate after a cache-warming run without paying
+        for the whole suite)."""
+        if only and only not in name:
+            return None
         est = state_est.get(name, cold_est_s) * (1.4 if name in state_est else 1.0)
         if _remaining() < est + reserve_s:
             extra.append({"metric": name, "skipped": "budget",
