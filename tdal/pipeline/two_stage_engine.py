@@ -182,15 +182,23 @@ class TwoStageEngine:
         return jax.jit(train_step, **jit_kw), jax.jit(predict_step)
 
     def init(self, rng, points, gt_boxes_and_cls):
-        """Initialize both stages; returns (params, batch_stats) nested dicts."""
-        vf = self.first.init({"params": rng}, points)
-        first_params = vf["params"]
-        first_bs = vf.get("batch_stats", {})
-        _, _, rois, roi_labels, roi_scores, feats, valid = self._first_stage_rois(
-            {"params": first_params, "batch_stats": first_bs}, points, train=False
-        )
-        vr = self.roi_head.init({"params": rng, "dropout": rng}, feats)
-        return (
-            {"first": first_params, "roi": vr["params"]},
-            {"first": first_bs, "roi": vr.get("batch_stats", {})},
-        )
+        """Initialize both stages; returns (params, batch_stats) nested dicts.
+
+        Jitted as ONE program: eager flax init at the production grid runs the
+        whole first stage op-by-op through per-op compiles (~750 s on the axon
+        remote compile helper vs ~110 s for the single jitted+cached program)."""
+
+        def _init(rng, points):
+            vf = self.first.init({"params": rng}, points)
+            first_params = vf["params"]
+            first_bs = vf.get("batch_stats", {})
+            _, _, rois, roi_labels, roi_scores, feats, valid = self._first_stage_rois(
+                {"params": first_params, "batch_stats": first_bs}, points, train=False
+            )
+            vr = self.roi_head.init({"params": rng, "dropout": rng}, feats)
+            return (
+                {"first": first_params, "roi": vr["params"]},
+                {"first": first_bs, "roi": vr.get("batch_stats", {})},
+            )
+
+        return jax.jit(_init)(rng, points)
