@@ -26,7 +26,7 @@ killing the bench.
 Budget protocol (VERDICT r3 item 1 — round 3 produced NO driver-visible perf
 because the all-or-nothing bench ran past the driver timeout, rc=124):
 
-  - A hard wall-clock budget (env TDAL_BENCH_BUDGET_S, default 540 s) governs
+  - A hard wall-clock budget (env TDAL_BENCH_BUDGET_S, default 1200 s) governs
     the whole run. Cheap metrics run first; expensive metrics run in
     descending value order, each behind a remaining-budget check. A metric
     that doesn't fit emits {"metric": ..., "skipped": "budget", "est_s": ...}

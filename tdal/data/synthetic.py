@@ -19,6 +19,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from tdal.data.waymo_decoder_tf import combined_difficulty
 from tdal.data.waymo_schema import (
     dump_pickle,
     rotz_np,
@@ -130,7 +131,13 @@ class SyntheticScene:
                     "box": box9_v.astype(np.float32),
                     "num_points": self.points_per_object,
                     "detection_difficulty_level": 0,
-                    "combined_difficulty_level": 0,
+                    # Same rule real infos carry (waymo_decoder.py:175-185 via
+                    # waymo_decoder_tf.combined_difficulty): unset labeler level
+                    # -> L1 if >=5 points else L2, so _l2approx metrics see the
+                    # same field semantics as real Waymo.
+                    "combined_difficulty_level": combined_difficulty(
+                        0, self.points_per_object
+                    ),
                     "global_speed": np.asarray(obj["vel"], np.float32),
                     "global_accel": np.zeros(2, np.float32),
                 }

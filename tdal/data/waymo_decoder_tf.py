@@ -20,6 +20,22 @@ from __future__ import annotations
 import numpy as np
 
 
+def combined_difficulty(detection_difficulty_level: int, num_points: int) -> int:
+    """The Waymo combined-difficulty rule (waymo_decoder.py:175-185).
+
+    When the labeler set no level (0), derive it from points-in-box:
+    >= 5 points -> LEVEL_1, else LEVEL_2. Otherwise keep the labeler's level.
+
+    Reference quirk preserved: its ``999 if num_points <= 0`` assignment is
+    ALWAYS overwritten (the following ``if detection_difficulty_level == 0``
+    is not an elif), so an empty unlabeled box ends up LEVEL_2, never 999 —
+    we match the reference's actual behavior, not its comment. This field
+    drives the devkit's L1/L2 split (waymo_common.py:222-231)."""
+    if detection_difficulty_level == 0:
+        return 1 if num_points >= 5 else 2
+    return int(detection_difficulty_level)
+
+
 def _extract_points(frame, parsed):
     import tensorflow as tf
     from waymo_open_dataset.utils import frame_utils, range_image_utils, transform_utils
@@ -83,7 +99,10 @@ def decode_annos(frame, frame_id: int) -> dict:
                 ),
                 "num_points": label.num_lidar_points_in_box,
                 "detection_difficulty_level": label.detection_difficulty_level,
-                "combined_difficulty_level": label.detection_difficulty_level,
+                "combined_difficulty_level": combined_difficulty(
+                    label.detection_difficulty_level,
+                    label.num_lidar_points_in_box,
+                ),
                 "global_speed": np.array(speed, np.float32),
                 "global_accel": np.array(accel, np.float32),
             }

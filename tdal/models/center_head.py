@@ -146,7 +146,6 @@ class SepHead(nn.Module):
                     # outweighs the forward save); the shared-conv -> branch
                     # chain (pre=pre here) still wins and stays.
                     h = mod(h, train, pre=pre)
-                    fpre = None
                     pre = None
                     continue
                 if pre is not None:  # unchained first layer: materialize
@@ -184,7 +183,7 @@ class SepHead(nn.Module):
                 )(h)
             else:
                 y = self._masked_conv(
-                    h, [hc] * g, outs, bias_vals, "final_conv", train, pre=fpre
+                    h, [hc] * g, outs, bias_vals, "final_conv", train
                 )
             out, co = {}, 0
             for name, c in zip(names, outs):

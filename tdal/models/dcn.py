@@ -129,8 +129,11 @@ class DCNSepHead(nn.Module):
         reg_feat = FeatureAdaption(x.shape[-1], dtype=self.dtype)(x)
 
         h = nn.Conv(self.head_conv, (3, 3), padding="SAME", dtype=self.dtype)(center_feat)
+        # Reference nn.BatchNorm2d(64) defaults (center_head.py:187): torch
+        # momentum 0.1 == flax momentum 0.9, eps 1e-5 — same as the other
+        # head BNs (PARITY.md pins this).
         h = nn.BatchNorm(
-            use_running_average=not train, momentum=0.99, epsilon=1e-3, dtype=self.dtype
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(h)
         h = nn.relu(h)
         hm = nn.Conv(

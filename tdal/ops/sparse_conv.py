@@ -370,6 +370,11 @@ def scatter_dense_bev(coords, feats, valid, grid):
     """Sparse -> dense (nz, ny, nx, C) -> BEV (ny, nx, nz*C) (spconv .dense() + the
     reference's z-fold, scn.py:170-176).
 
+    PRECONDITION: valid rows must carry UNIQUE, IN-GRID coords — duplicates or
+    out-of-range coords with valid=True are silent undefined behavior (the
+    scatter is declared promise_in_bounds + unique_indices). Callers after
+    dedup downsampling (scn_sparse) satisfy this by construction.
+
     Every row gets a DISTINCT target slot (invalid rows land in a per-row dump
     region past the grid) so the scatter is declared unique — without this XLA
     must assume collisions and serializes (the pillar scatter measured the same

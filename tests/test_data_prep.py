@@ -96,3 +96,55 @@ def test_gt_database_and_sampler(prep_root):
     box7_geo[:, 6] = -np.pi / 2 - box7_geo[:, 6]
     inside = points_in_rbbox_np(out["points"], box7_geo)
     assert inside.any(axis=1).mean() > 0.9
+
+
+def test_combined_difficulty_rule():
+    """Pin the Waymo combined-difficulty mapping (waymo_decoder.py:175-185).
+
+    Reference quirk: the 999-for-empty-boxes assignment is always overwritten
+    (no elif), so empty unlabeled boxes land in LEVEL_2."""
+    from tdal.data.waymo_decoder_tf import combined_difficulty
+
+    assert combined_difficulty(0, 5) == 1
+    assert combined_difficulty(0, 100) == 1
+    assert combined_difficulty(0, 4) == 2
+    assert combined_difficulty(0, 1) == 2
+    assert combined_difficulty(0, 0) == 2  # NOT 999 (reference dead branch)
+    assert combined_difficulty(2, 0) == 2
+    assert combined_difficulty(2, 100) == 2
+    assert combined_difficulty(1, 0) == 1
+
+
+def test_dataset_wrappers():
+    """ConcatDataset / RepeatDataset (reference dataset_wrappers.py:7-55)."""
+    from tdal.data.dataset_wrappers import ConcatDataset, RepeatDataset
+    from tdal.runtime.registry import DATASETS
+
+    class Toy:
+        class_names = ["VEHICLE"]
+
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+    a, b = Toy([1, 2, 3]), Toy([10, 20])
+    cat = ConcatDataset([a, b])
+    assert len(cat) == 5
+    assert [cat[i] for i in range(5)] == [1, 2, 3, 10, 20]
+    assert cat[-1] == 20
+    assert cat.class_names == ["VEHICLE"]
+    with pytest.raises(IndexError):
+        cat[5]
+
+    rep = RepeatDataset(a, times=3)
+    assert len(rep) == 9
+    assert [rep[i] for i in range(9)] == [1, 2, 3] * 3
+    assert rep.class_names == ["VEHICLE"]
+
+    assert DATASETS.get("ConcatDataset") is ConcatDataset
+    assert DATASETS.get("RepeatDataset") is RepeatDataset
