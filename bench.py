@@ -75,6 +75,10 @@ B, N, NOBJ = 32, 512, 512
 # sets/s within one bench run). 400 iters makes each block ~0.6 s so the fetch
 # contributes <10%.
 WARMUP, ITERS = 5, 400
+# 3 repeat blocks (not 5): min/max already expose tunnel variance, and the
+# saved ~1.5 min of headline time is what lets the two-stage predict metric
+# fit the 1200 s budget (VERDICT r4 item 2).
+HEADLINE_REPEATS = 3
 V5E_BF16_PEAK = 197e12  # TPU v5e per-chip bf16 peak FLOP/s
 
 
@@ -189,7 +193,7 @@ def measure_labeler_forward():
         return chain(p, fwd(p, init_box))
 
     return timeit_chained_stats(
-        step, pts, init_box, iters=ITERS, warmup=WARMUP, repeats=5
+        step, pts, init_box, iters=ITERS, warmup=WARMUP, repeats=HEADLINE_REPEATS
     )
 
 
@@ -469,17 +473,23 @@ def measure_trackdata_extraction():
         return stats_timer(once, repeats=3)
 
 
+_AP_STACK = {}
+
+
 def measure_pipeline_e2e(n_frames=16):
     """All 6 offboard stages chained on one synthetic segment, frames/sec.
 
     n_frames scales the segment (VERDICT r3 item 7: 200-frame segments
-    amortize compiles/host latency the way real Waymo segments do)."""
+    amortize compiles/host latency the way real Waymo segments do). When
+    detector_ap_synthetic ran first, its TRAINED detector drives stage 1 so
+    the downstream track population is bounded and representative (VERDICT
+    r4 item 6); otherwise falls back to the fresh-init production config."""
     import sys
 
     sys.path.insert(0, "benchmarks")
     from pipeline_e2e import measure
 
-    return measure(n_frames=n_frames)
+    return measure(n_frames=n_frames, detector_stack=_AP_STACK.get("stack"))
 
 
 def measure_detector_ap_synthetic(epochs=60, n_scenes=4, n_frames=16, bsz=8):
@@ -564,6 +574,11 @@ def measure_detector_ap_synthetic(epochs=60, n_scenes=4, n_frames=16, bsz=8):
             detections_to_eval_format(detections), gts, iou_thresholds={"VEHICLE": 0.3}
         )
         ap = m.get("VEHICLE_AP", 0.0)
+        # Stash the TRAINED detector for the e2e metric (VERDICT r4 item 6):
+        # a fresh-init detector emits near-random boxes, so the e2e track
+        # population grows unboundedly and the metric characterizes a regime
+        # the real pipeline never sees. The trained stack bounds it.
+        _AP_STACK["stack"] = (voxel_cfg, det, assigner, test_cfg, code_w, state, 4096)
         return {"ap_iou03": round(float(ap), 4), "epochs": epochs,
                 "metrics": {k: round(float(v), 4) for k, v in m.items()}}
 
@@ -758,14 +773,18 @@ def main():
     guard("trackdata_extraction", measure_trackdata_extraction, 60)
 
     # Phase B — expensive metrics in descending value order, each behind a
-    # remaining-budget check (VERDICT r3 item 1).
-    guard("pointpillars", measure_pointpillars, 200)
+    # remaining-budget check (VERDICT r3 item 1). The two-stage predict goes
+    # FIRST: it is the 4-round-old north-star number (tools/dist_test.py on
+    # the production config) and must not lose the budget race again
+    # (VERDICT r4 item 2). detector_ap_synthetic runs before the e2e chain
+    # so the e2e can reuse its trained detector (VERDICT r4 item 6).
     guard("voxelnet_two_stage", measure_voxelnet_two_stage_predict, 2400)
+    guard("pointpillars", measure_pointpillars, 200)
     guard("voxelnet_full_grid", measure_voxelnet_full_grid, 700)
+    guard("detector_ap_synthetic", measure_detector_ap_synthetic, 400)
     e2e_frames = int(os.environ.get("TDAL_BENCH_E2E_FRAMES", "200"))
     guard(f"pipeline_e2e_{e2e_frames}f",
           lambda: measure_pipeline_e2e(n_frames=e2e_frames), 900)
-    guard("detector_ap_synthetic", measure_detector_ap_synthetic, 400)
 
     try:
         _STATE_PATH.write_text(json.dumps(new_est, indent=1))

@@ -64,13 +64,34 @@ def _make_voxelnet():
     )
 
 
+def _permute_batch(batch, perm):
+    return {
+        k: ([v[perm] for v in vv] if isinstance(vv, list) else vv[perm])
+        for k, vv in batch.items()
+    }
+
+
 def test_sparse_voxelnet_sharded_step_matches_single_device():
-    """Sharded gradients == single-device gradients (implicit psum exactness).
+    """Sharded gradients == single-device gradients (implicit psum exactness),
+    judged against a MEASURED reassociation-noise floor.
+
+    The floor: single-device gradients of the example-PERMUTED batch are
+    mathematically identical (the loss is a mean over examples; BN stats are
+    permutation-invariant), so |g(perm) - g(orig)| is pure float32 reduction-
+    reassociation noise. At this regime (fresh init, one GT box, near-uniform
+    heatmap) the BN backward's gy - mean(gy) cancellation amplifies that noise
+    to percent-level on a handful of leaves (up to 1.4 REL on conv biases
+    feeding a BN, whose true gradient is exactly zero) — measured in round 5
+    (benchmarks/debug_shard_equiv4.py): per-leaf mesh-vs-single divergence
+    matches perm-vs-orig noise to 3 significant digits. A fixed rtol therefore
+    cannot test sharding exactness here; the noise floor can. Real psum bugs
+    (wrong scale, dropped shard) are multiplicative — orders above the floor,
+    and they also hit the well-conditioned leaves where the tight fixed
+    tolerance still binds.
 
     Gradients, not post-Adam params: for channels whose gradient is epsilon-
     scale, adam's m/sqrt(v) first step is ~sign(g)*lr, which amplifies float
-    reassociation noise into lr-scale param differences — the grads themselves
-    agree to ~1e-6 relative (measured)."""
+    reassociation noise into lr-scale param differences."""
     from tdal.models.center_head import center_head_loss
 
     det = _make_voxelnet()
@@ -90,6 +111,10 @@ def test_sparse_voxelnet_sharded_step_matches_single_device():
 
     gfn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
     (l_single, _), g_single = gfn(params, dbatch)
+    # single-device reassociation-noise control (same program, permuted rows)
+    (l_perm, _), g_perm = gfn(
+        params, _permute_batch(dbatch, np.array([3, 1, 4, 0, 7, 5, 2, 6]))
+    )
 
     mesh = make_mesh()
     assert mesh.devices.size == 8
@@ -97,17 +122,23 @@ def test_sparse_voxelnet_sharded_step_matches_single_device():
 
     assert np.isfinite(float(l_mesh))
     assert float(l_mesh) == pytest.approx(float(l_single), rel=1e-5)
-    for (pa, a), (pb, b) in zip(
+    assert float(l_perm) == pytest.approx(float(l_single), rel=1e-5)
+    for (pa, a), (pb, b), (pc, c) in zip(
         jax.tree_util.tree_flatten_with_path(g_single)[0],
         jax.tree_util.tree_flatten_with_path(g_mesh)[0],
+        jax.tree_util.tree_flatten_with_path(g_perm)[0],
     ):
-        assert pa == pb
-        scale = float(np.max(np.abs(np.asarray(a))))
-        # 1e-6 absolute floor: a conv bias feeding a BatchNorm has a
-        # mathematically-zero gradient that survives only as ~1e-8 float noise
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4 * scale + 1e-6,
-            err_msg=jax.tree_util.keystr(pa),
+        assert pa == pb == pc
+        a, b, c = np.asarray(a, np.float64), np.asarray(b, np.float64), np.asarray(c, np.float64)
+        scale = float(np.abs(a).max())
+        noise = float(np.abs(a - c).max())
+        # tight fixed tolerance (old contract) OR 8x the measured noise floor;
+        # 1e-6 absolute floor for mathematically-zero gradients.
+        tol = max(1e-4 * scale + 1e-6, 8.0 * noise)
+        err = float(np.abs(a - b).max())
+        assert err <= tol, (
+            f"{jax.tree_util.keystr(pa)}: mesh-vs-single {err:.3e} > "
+            f"tol {tol:.3e} (noise floor {noise:.3e}, scale {scale:.3e})"
         )
 
     # the full optimizer step runs and stays finite under the mesh
