@@ -26,6 +26,7 @@ Everything is jit/vmap-friendly with static shapes; batch via vmap.
 
 from __future__ import annotations
 
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -186,26 +187,31 @@ def _subm_pertap(feats, weights, idx, found):
     gather applied to the cotangent with flipped/transposed weights —
     no scatter-add (XLA's row scatter-add was ~100ms+ of the backbone's
     backward at the full grid)."""
-    return _pertap_contract(feats, idx, found, weights)
+    return _pertap_contract(feats, idx, found, weights, identity_center=True)
 
 
 def _subm_pertap_fwd(feats, weights, idx, found):
-    return _pertap_contract(feats, idx, found, weights), (feats, weights, idx, found)
+    return (
+        _pertap_contract(feats, idx, found, weights, identity_center=True),
+        (feats, weights, idx, found),
+    )
 
 
 def _subm_pertap_bwd(res, g):
     feats, weights, idx, found = res
-    kN = weights.shape[0]
+    kN, cin, _ = weights.shape
     wflip = jnp.flip(weights, 0).transpose(0, 2, 1)
-    dfeats = _pertap_contract(g, idx, found, wflip)
-    dW = []
-    for k in range(kN):
-        gk = feats[idx[:, k]] * found[:, k, None]
-        dW.append(
-            jax.lax.dot_general(
-                gk, g, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    dfeats = _pertap_contract(g, idx, found, wflip, identity_center=True)
+    itemsize = jnp.dtype(feats.dtype).itemsize
+    if _PACKED_GATHER and kN == 27 and 2 * cin * itemsize <= 512:
+        taps = _row_taps_27(feats, idx, found, True)  # packed wgrad reads too
+    else:
+        taps = ((k, feats[idx[:, k]] * found[:, k, None]) for k in range(kN))
+    dW = [None] * kN
+    for k, gk in taps:
+        dW[k] = jax.lax.dot_general(
+            gk, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
     return dfeats.astype(feats.dtype), jnp.stack(dW).astype(weights.dtype), None, None
 
@@ -213,22 +219,108 @@ def _subm_pertap_bwd(res, g):
 _subm_pertap.defvjp(_subm_pertap_fwd, _subm_pertap_bwd)
 
 
-def _pertap_contract(feats, idx, found, weights):
-    """sum_k feats[idx[:, k]] @ W_k with one gather per tap.
+# Row-packed gather path (round 5): per (dz, dy) row, the OCCUPIED x-taps
+# always hold CONSECUTIVE slots (rank is order-preserving and no cells lie
+# between key-1, key, key+1), so both feature rows a row needs live in at
+# most TWO pair-packed (2C) rows — 2 fetches per row instead of 3 under a
+# tile-per-fetch cost model. MEASURED DEAD END, default OFF: the same-session
+# hardware A/B (benchmarks/RESULTS.md round-5 per-pass table) shows the
+# packed path LOSES 10-30% on every pass (L1 13.3->16.6, L2 10.9->12.0,
+# L3 9.7->10.4 ms; backbone fwd 356->398 ms runtime-coords) — the per-tap
+# MONOTONE gathers already stream tile-SHARED reads (adjacent gathered rows
+# fall in the same 512B tile), so real fetch traffic was below 27 tiles/voxel
+# and the pair-packing only added 4-way select VPU work. Parity of both paths
+# is pinned by tests/test_sparse_conv.py::test_packed_gather_matches_unpacked
+# _paths (CPU) and benchmarks/verify_packed_gather.py (hardware, f32 gate).
+_PACKED_GATHER = _os.environ.get("TDAL_PACKED_GATHER", "0") != "0"
 
-    Per-tap indices are MONOTONE (both source and targets are key-sorted and
-    the tap offset is fixed), so each gather streams through the feature
-    array nearly sequentially — measured 1.5x faster than the interleaved
-    (V, 27) gather at the full Waymo grid (27.5 -> 18.5 ms, C=16)."""
+
+def _extract_row_taps(packed, cat_c, idx3, found3):
+    """Fetch the <=2 packed rows covering a (dz, dy) row's 3 x-taps and
+    extract each tap's (V, C) feature block.
+
+    packed (Vp/2, 2C); idx3 (V, 3) slots; found3 (V, 3). Returns [g0, g1, g2]
+    with not-found taps zeroed. Occupied taps hold consecutive slots, so all
+    live in packed rows a and a+1 where a = (min occupied slot) >> 1."""
+    s0 = jnp.where(
+        found3[:, 0], idx3[:, 0], jnp.where(found3[:, 1], idx3[:, 1], idx3[:, 2])
+    )
+    anyf = found3.any(axis=1)
+    a = jnp.clip(jnp.where(anyf, s0 >> 1, 0), 0, packed.shape[0] - 2)
+    p0 = packed[a]          # (V, 2C) — one 512B-tile fetch
+    p1 = packed[a + 1]      # (V, 2C)
+    halves = (p0[:, :cat_c], p0[:, cat_c:], p1[:, :cat_c], p1[:, cat_c:])
+    base = a << 1
+    out = []
+    for j in range(3):
+        off = idx3[:, j] - base  # in {0..3} when found
+        g = jnp.where(
+            (off == 0)[:, None], halves[0],
+            jnp.where(
+                (off == 1)[:, None], halves[1],
+                jnp.where((off == 2)[:, None], halves[2], halves[3]),
+            ),
+        )
+        out.append(g * found3[:, j, None])
+    return out
+
+
+def _row_taps_27(feats, idx, found, identity_center):
+    """Per-tap (V, C) feature blocks for all 27 taps via the packed-row path.
+
+    Yields (k, g_k) in _OFFSETS_3 order. With identity_center (submanifold
+    convs: output sites == input sites), the center (dz=0, dy=0) row is pure
+    shifts — slots are exactly v-1, v, v+1 — costing zero gathers; total
+    16 row-fetches per voxel instead of 27."""
+    v, c = feats.shape
+    vp = v + (v & 1)
+    fp = feats if vp == v else jnp.pad(feats, ((0, 1), (0, 0)))
+    packed = fp.reshape(vp // 2, 2 * c)
+    zrow = jnp.zeros((1, c), feats.dtype)
+    for r in range(9):
+        idx3, found3 = idx[:, 3 * r : 3 * r + 3], found[:, 3 * r : 3 * r + 3]
+        if identity_center and r == 4:
+            gm = jnp.concatenate([zrow, feats[:-1]], 0) * found3[:, 0, None]
+            g0 = feats * found3[:, 1, None]
+            gp = jnp.concatenate([feats[1:], zrow], 0) * found3[:, 2, None]
+            taps = (gm, g0, gp)
+        else:
+            taps = _extract_row_taps(packed, c, idx3, found3)
+        for j, g in enumerate(taps):
+            yield 3 * r + j, g
+
+
+def _pertap_contract(feats, idx, found, weights, identity_center=False):
+    """sum_k feats[idx[:, k]] @ W_k.
+
+    Default path: one gather per tap. Per-tap indices are MONOTONE (both
+    source and targets are key-sorted and the tap offset is fixed), so each
+    gather streams through the feature array nearly sequentially — measured
+    1.5x faster than the interleaved (V, 27) gather at the full Waymo grid
+    (27.5 -> 18.5 ms, C=16), and faster than a single tap-major gather +
+    batched matmul (fwd 211 / train 523 vs 218/669 vs 227/704 ms full grid).
+
+    Packed path (kN == 27 and a pair row 2*C*itemsize <= 512B, default OFF):
+    consecutive-slot row extraction (_row_taps_27) cuts the 27 row-fetches
+    per voxel to 16 under a tile-per-fetch cost model — but the round-5
+    same-session hardware A/B (benchmarks/sparse_bisect.py, full grid,
+    runtime coords) measured it SLOWER on every pass: L1 13.3 -> 16.6 ms,
+    L2 10.9 -> 12.0, L3 9.7 -> 10.4 (C=32/64/128 bf16); backbone fwd
+    356 -> 398 ms. Monotone gathers already stream tile-shared reads, so
+    the packing only added select overhead (RESULTS.md round-5 table).
+    Kept behind TDAL_PACKED_GATHER=1 with parity pinned on CPU + hardware."""
     n_out = idx.shape[0]
     kN, cin, cout = weights.shape
-    # Per-tap python-unrolled gathers: each tap's indices are MONOTONE (source
-    # and targets key-sorted, fixed offset), which streams the feature array
-    # nearly sequentially. Measured at the full Waymo grid against (a) the
-    # interleaved (V, 27) gather (fwd 227 / train 704 ms) and (b) a single
-    # tap-major gather + batched matmul (fwd 218 / train 669): this loop wins
-    # both (fwd 211 / train 523).
+    itemsize = jnp.dtype(feats.dtype).itemsize
     out = jnp.zeros((n_out, cout), jnp.float32)
+    if _PACKED_GATHER and kN == 27 and 2 * cin * itemsize <= 512:
+        taps = _row_taps_27(feats, idx, found, identity_center)
+        for k, g in taps:
+            out = out + jax.lax.dot_general(
+                g, weights[k].astype(feats.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return out.astype(feats.dtype)
     for k in range(kN):
         g = feats[idx[:, k]] * found[:, k, None]
         out = out + jax.lax.dot_general(

@@ -284,3 +284,41 @@ def test_sparse_backbone_forward_and_grad():
     assert np.isfinite(
         float(jax.tree_util.tree_reduce(lambda a, x: a + jnp.abs(x).sum(), g, 0.0))
     )
+
+
+def test_packed_gather_matches_unpacked_paths():
+    """The packed consecutive-slot row gather (sparse_conv._row_taps_27) must
+    produce the per-tap gather path's exact results — fwd AND custom-VJP grads
+    — including the boundary cases: ODD valid count (pad row in the pair
+    packing), voxels at the END of the slot space (packed-row index clip), and
+    an invalid tail. f32 here so any wrong row fetch is O(1), not rounding
+    (the hardware twin is benchmarks/verify_packed_gather.py)."""
+    import tdal.ops.sparse_conv as sc
+
+    for seed, n_active, v_cap in [(0, 25, 40), (1, 39, 39), (2, 37, 40)]:
+        coords, feats, valid = _random_sparse(v_cap=v_cap, n_active=n_active, c=6, seed=seed)
+        coords, feats, valid, keys = sort_voxels(coords, feats, valid, GRID)
+        w = jax.random.normal(jax.random.PRNGKey(seed), (27, 6, 5))
+        w2 = jax.random.normal(jax.random.PRNGKey(100 + seed), (27, 6, 7))
+
+        def run(c_, f_, m_, k_):
+            out = subm_conv3d(c_, f_, m_, k_, GRID, w)
+            _, down, _, _ = sparse_conv3d_down2(c_, f_, m_, k_, GRID, w2, v_out=32)
+            return out, down
+
+        def loss(f_):
+            out, down = run(coords, f_, valid, keys)
+            return (out ** 2).sum() + (down ** 2).sum(), (out, down)
+
+        prev = sc._PACKED_GATHER
+        try:
+            sc._PACKED_GATHER = True
+            (l1, (o1, d1)), g1 = jax.value_and_grad(loss, has_aux=True)(feats)
+            sc._PACKED_GATHER = False
+            (l0, (o0, d0)), g0 = jax.value_and_grad(loss, has_aux=True)(feats)
+        finally:
+            sc._PACKED_GATHER = prev
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)

@@ -206,3 +206,61 @@ def test_sp_program_is_actually_partitioned():
     # RPN output inherits the spatial sharding from the constrained canvas
     spec = feat.sharding.spec
     assert "spatial" in str(spec), f"RPN output not spatially sharded: {spec}"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sp_sparse_voxelnet_predict_matches_unsharded():
+    """SP predict equivalence at REFERENCE DEPTH (VERDICT r4 item 8b): the
+    production gather-based sparse middle backbone (2 SparseBasicBlocks per
+    stage, scn_sparse.py) feeding a spatially-sharded RPN/head stack must
+    produce the unsharded predictions. Eval mode — running BN stats, no
+    reassociation-amplifying BN backward — so tight tolerances hold."""
+    from tdal.models.detectors import VoxelNet
+
+    vox3d = VoxelConfig((-8, -8, -2, 8, 8, 4.0), (0.5, 0.5, 0.75), 5, 256)
+
+    def _vdet(bev_sharding=None):
+        return VoxelNet(
+            voxel_cfg=vox3d, tasks=tuple(TASKS), sparse_middle=True,
+            rpn_layer_nums=(1,), rpn_ds_strides=(1,), rpn_ds_filters=(8,),
+            rpn_us_strides=(1,), rpn_us_filters=(8,),
+            bev_sharding=bev_sharding,
+        )
+
+    rng = np.random.default_rng(0)
+    asg = AssignerConfig(tasks=TASKS, out_size_factor=8, max_objs=10)
+    items = []
+    for i in range(2):
+        p = rng.uniform(-8, 8, (200, 5)).astype(np.float32)
+        boxes = np.array([[1.0, 2.0, 0.2, 1.8, 4.8, 1.5, 0, 0, 0.3]], np.float32)
+        t = assign_centernet_targets(
+            boxes, np.array([1], np.int32), asg, vox3d.grid_size,
+            vox3d.point_cloud_range, vox3d.voxel_size,
+        )
+        items.append(dict(t, points=pad_points(p, 256), token=f"t{i}"))
+    b = collate_detection(items)
+    b.pop("token")
+    b.pop("gt_boxes_and_cls")
+    batch = {
+        k: ([jnp.asarray(x) for x in v] if isinstance(v, list) else jnp.asarray(v))
+        for k, v in b.items()
+    }
+    cfg = dict(TEST_CFG, out_size_factor=8, voxel_size=[0.5, 0.5])
+
+    key = jax.random.PRNGKey(0)
+    det_ref = _vdet()
+    params, bs = init_model(det_ref, {"params": key}, batch["points"])
+    state = TrainState.create(params, optax.adam(1e-3), bs)
+    _, predict_ref = make_detector_steps(det_ref, cfg, [1.0] * 8, donate=False)
+    ref = predict_ref(state, batch["points"])
+
+    mesh = make_mesh(axis_names=("data", "spatial"), axis_sizes=(2, 4),
+                     devices=jax.devices()[:8])
+    det_sp = _vdet(spatial_sharding(mesh, batch_axis="data"))
+    _, predict_sp = make_detector_steps(det_sp, cfg, [1.0] * 8, donate=False)
+    sp = predict_sp(state, shard_batch({"points": batch["points"]}, mesh)["points"])
+
+    for k in ("box3d_lidar", "scores", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(sp[k]), rtol=1e-5, atol=1e-5,
+        )
