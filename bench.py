@@ -192,9 +192,36 @@ def measure_labeler_forward():
     def step(p, init_box):
         return chain(p, fwd(p, init_box))
 
-    return timeit_chained_stats(
+    stats = timeit_chained_stats(
         step, pts, init_box, iters=ITERS, warmup=WARMUP, repeats=HEADLINE_REPEATS
     )
+
+    # Companion DEVICE-RATE measurement (VERDICT r4 item 4/reconcile): the
+    # protocol above issues ITERS separate dispatches over the axon tunnel, so
+    # its sets/s is bounded by min(device rate, host+tunnel dispatch rate) —
+    # the 26.6k-vs-51.4k round-4 discrepancy tracks HOST/TUNNEL conditions,
+    # not tdal code. This variant runs the same chained iterations inside ONE
+    # lax.scan (one dispatch per block), isolating pure device throughput.
+    import jax.lax as lax
+
+    @jax.jit
+    def fwd_block(p, init_box):
+        def body(carry, _):
+            out = model.apply(variables, carry, init_box, train=False)["center"]
+            return carry + 0.0 * jnp.sum(out), None
+
+        c, _ = lax.scan(body, p, None, length=ITERS)
+        return c
+
+    def scan_step(c, init_box):
+        return chain(c, fwd_block(c, init_box))
+
+    scan_stats = timeit_chained_stats(
+        scan_step, pts, init_box, iters=1, warmup=1, repeats=HEADLINE_REPEATS
+    )
+    stats["scan_median"] = scan_stats["median"] / ITERS
+    stats["scan_min"] = scan_stats["min"] / ITERS
+    return stats
 
 
 def measure_pointpillars():
@@ -663,6 +690,14 @@ def _assemble_and_print(results, extra, baseline, backend):
         vmin, vmax = B / fwd_stats["max"], B / fwd_stats["min"]
     else:
         value, vmin, vmax = 0.0, 0.0, 0.0
+    # Pure device throughput (single-dispatch lax.scan variant): headline
+    # minus host/tunnel dispatch overhead — the round-4 26.6k-vs-51.4k
+    # discrepancy axis (VERDICT r4 item 3).
+    device_rate = (
+        round(B / fwd_stats["scan_median"], 1)
+        if fwd_stats and fwd_stats.get("scan_median")
+        else None
+    )
     print(
         json.dumps(
             {
@@ -671,6 +706,7 @@ def _assemble_and_print(results, extra, baseline, backend):
                 "value": round(value, 1),
                 "min": round(vmin, 1),
                 "max": round(vmax, 1),
+                "device_rate_scan": device_rate,
                 "unit": "object point-sets/sec",
                 "vs_baseline": round(value / baseline, 2) if baseline else 0.0,
                 "budget_s": BUDGET_S,

@@ -199,10 +199,18 @@ def _subm_pertap_fwd(feats, weights, idx, found):
 
 def _subm_pertap_bwd(res, g):
     feats, weights, idx, found = res
-    kN, cin, _ = weights.shape
+    kN, cin, cout = weights.shape
     wflip = jnp.flip(weights, 0).transpose(0, 2, 1)
     dfeats = _pertap_contract(g, idx, found, wflip, identity_center=True)
     itemsize = jnp.dtype(feats.dtype).itemsize
+    if _fused_mode(idx.shape[0], kN):
+        # one gather + ONE (K*C, V) x (V, Cout) MXU matmul for the whole dW
+        gt = feats[idx.reshape(-1)] * found.reshape(-1, 1)
+        gt = gt.reshape(idx.shape[0], kN * cin)
+        dW = jax.lax.dot_general(
+            gt, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).reshape(kN, cin, cout)
+        return dfeats.astype(feats.dtype), dW.astype(weights.dtype), None, None
     if _PACKED_GATHER and kN == 27 and 2 * cin * itemsize <= 512:
         taps = _row_taps_27(feats, idx, found, True)  # packed wgrad reads too
     else:
@@ -233,6 +241,12 @@ _subm_pertap.defvjp(_subm_pertap_fwd, _subm_pertap_bwd)
 # is pinned by tests/test_sparse_conv.py::test_packed_gather_matches_unpacked
 # _paths (CPU) and benchmarks/verify_packed_gather.py (hardware, f32 gate).
 _PACKED_GATHER = _os.environ.get("TDAL_PACKED_GATHER", "0") != "0"
+
+# Fused-contraction crossover: voxel sets at or below this size use ONE
+# interleaved gather + ONE MXU matmul instead of 27 per-tap gathers (see
+# _fused_mode). Default set by the round-5 hardware A/B
+# (benchmarks/fused_gather_ab.py); 0 disables.
+_FUSED_MAX_V = int(_os.environ.get("TDAL_FUSED_GATHER_MAX_V", "0"))
 
 
 def _extract_row_taps(packed, cat_c, idx3, found3):
@@ -290,6 +304,31 @@ def _row_taps_27(feats, idx, found, identity_center):
             yield 3 * r + j, g
 
 
+def _fused_mode(n_out, kN):
+    """Use the single-gather fused contraction for SMALL voxel sets.
+
+    At small V the 27 per-tap gathers are dispatch/latency-bound (each tap is
+    a separate kernel with a fixed cost; L3 measured 8.6 ms vs a 2.1 ms
+    bandwidth wall), so one big gather + ONE (V, 27C) x (27C, Cout) MXU matmul
+    wins despite the interleaved access pattern that loses at L0's 178k rows.
+    Threshold from the round-5 hardware A/B (benchmarks/fused_gather_ab.py);
+    TDAL_FUSED_GATHER_MAX_V=0 disables."""
+    return kN > 1 and n_out <= _FUSED_MAX_V
+
+
+def _fused_contract(feats, idx, found, weights):
+    """One interleaved (V*K) row gather + one (V, K*C) x (K*C, Cout) matmul."""
+    n_out, kN = idx.shape
+    _, cin, cout = weights.shape
+    g = feats[idx.reshape(-1)] * found.reshape(-1, 1)
+    g = g.reshape(n_out, kN * cin)
+    out = jax.lax.dot_general(
+        g, weights.astype(feats.dtype).reshape(kN * cin, cout),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    return out.astype(feats.dtype)
+
+
 def _pertap_contract(feats, idx, found, weights, identity_center=False):
     """sum_k feats[idx[:, k]] @ W_k.
 
@@ -299,6 +338,10 @@ def _pertap_contract(feats, idx, found, weights, identity_center=False):
     1.5x faster than the interleaved (V, 27) gather at the full Waymo grid
     (27.5 -> 18.5 ms, C=16), and faster than a single tap-major gather +
     batched matmul (fwd 211 / train 523 vs 218/669 vs 227/704 ms full grid).
+
+    Fused path (n_out <= TDAL_FUSED_GATHER_MAX_V): at SMALL voxel counts the
+    27 separate gathers are dispatch-bound, so one interleaved gather + one
+    MXU matmul wins — see _fused_mode.
 
     Packed path (kN == 27 and a pair row 2*C*itemsize <= 512B, default OFF):
     consecutive-slot row extraction (_row_taps_27) cuts the 27 row-fetches
@@ -312,6 +355,8 @@ def _pertap_contract(feats, idx, found, weights, identity_center=False):
     n_out = idx.shape[0]
     kN, cin, cout = weights.shape
     itemsize = jnp.dtype(feats.dtype).itemsize
+    if _fused_mode(n_out, kN):
+        return _fused_contract(feats, idx, found, weights)
     out = jnp.zeros((n_out, cout), jnp.float32)
     if _PACKED_GATHER and kN == 27 and 2 * cin * itemsize <= 512:
         taps = _row_taps_27(feats, idx, found, identity_center)

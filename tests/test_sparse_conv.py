@@ -322,3 +322,36 @@ def test_packed_gather_matches_unpacked_paths():
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+
+
+def test_fused_gather_matches_pertap_paths():
+    """The fused single-gather contraction (sparse_conv._fused_contract, used
+    for small voxel sets where 27 per-tap gathers are dispatch-bound) must
+    match the per-tap path exactly — fwd AND custom-VJP grads (feats + W),
+    through both subm and strided down convs. f32 so any wrong row is O(1)."""
+    import tdal.ops.sparse_conv as sc
+
+    for seed, n_active, v_cap in [(0, 25, 40), (1, 39, 39), (2, 37, 40)]:
+        coords, feats, valid = _random_sparse(v_cap=v_cap, n_active=n_active, c=6, seed=seed)
+        coords, feats, valid, keys = sort_voxels(coords, feats, valid, GRID)
+        w = jax.random.normal(jax.random.PRNGKey(seed), (27, 6, 5))
+        w2 = jax.random.normal(jax.random.PRNGKey(100 + seed), (27, 6, 7))
+
+        def loss(f_, w_, w2_):
+            out = subm_conv3d(coords, f_, valid, keys, GRID, w_)
+            _, down, _, _ = sparse_conv3d_down2(coords, f_, valid, keys, GRID, w2_, v_out=32)
+            return (out ** 2).sum() + (down ** 2).sum(), (out, down)
+
+        prev = sc._FUSED_MAX_V
+        try:
+            sc._FUSED_MAX_V = 10 ** 9
+            (l1, (o1, d1)), g1 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(feats, w, w2)
+            sc._FUSED_MAX_V = 0
+            (l0, (o0, d0)), g0 = jax.value_and_grad(loss, argnums=(0, 1, 2), has_aux=True)(feats, w, w2)
+        finally:
+            sc._FUSED_MAX_V = prev
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d0), rtol=1e-5, atol=1e-5)
+        for a, b in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
