@@ -76,9 +76,17 @@ def measure(
     warm_frames: int = None,
     logger=None,
     detector_stack=None,
+    x_range=None,
+    dynamic_motion="random",
 ) -> dict:
     """Run the full chain twice (warm compile, then timed) and return
-    {"frames_per_sec", "n_frames", "stage_s": {...}}.
+    {"frames_per_sec", "n_frames", "stage_s": {...}, "counts": {...}}.
+
+    ``counts`` (detections, tracks, static/dynamic splits, labeled boxes)
+    makes a HOLLOW run visible: a detector whose scene is out of range or
+    out of distribution yields zero tracks, and the downstream label stages
+    measure nothing. ``x_range`` spreads objects along the ego path so long
+    segments keep objects in detector range (tdal.data.synthetic).
 
     The warm pass runs on a SHORT segment (warm_frames, default min(16,
     n_frames)): every compiled shape is segment-length-independent (fixed
@@ -147,10 +155,20 @@ def measure(
              ) = _build_detector_stack(max_points)
 
         def build_segment(sub, frames, seed):
+            # "path": spread objects along THIS segment's ego path (0.5 m/frame)
+            # — the warm segment must scale to its own (shorter) length, or its
+            # objects sit beyond detector range and the warm chain never
+            # compiles the labeler stages.
+            if x_range == "path":
+                kw = {"x_range": (5.0, 25.0 + 0.5 * frames)}
+            else:
+                kw = {} if x_range is None else {"x_range": x_range}
+            kw["dynamic_motion"] = dynamic_motion
             infos, _scenes = make_synthetic_dataset(
                 str(Path(tmp) / sub), n_scenes=1, n_frames=frames, seed=seed,
                 n_static=n_static, n_dynamic=n_dynamic,
                 points_per_object=points_per_object, n_background=n_background,
+                **kw,
             )
             info_map = reorganize_info(infos)
             annos = AnnoStore(info_map)
@@ -179,7 +197,7 @@ def measure(
             return TrainState.create(p, optax.adam(1e-3), bs)
 
         def run_chain(out_root, info_map, annos, ds):
-            stage_s = {}
+            stage_s, counts = {}, {}
             out = Path(out_root)
             out.mkdir(exist_ok=True)
 
@@ -192,6 +210,9 @@ def measure(
                 detections, info_map, out, tracking=False, logger=logger
             )
             stage_s["detect"] = time.perf_counter() - t0
+            counts["det_boxes"] = int(
+                sum(len(d["scores"]) for d in detections.values())
+            )
 
             t0 = time.perf_counter()
             global_preds, det_results = convert_detection_to_global_box(
@@ -218,12 +239,17 @@ def measure(
             preds = clf.predict(X) if len(X) else []
             track_static, track_dynamic = split_by_prediction(new_track, preds)
             stage_s["motion"] = time.perf_counter() - t0
+            counts["tracks"] = len(new_track)
+            counts["static_tracks"] = len(track_static)
+            counts["dynamic_tracks"] = len(track_dynamic)
 
             det_annos = sort_detections(det_annos)
             token2idx = build_token2idx(info_map, annos, det_annos)
 
             t0 = time.perf_counter()
             ts, _ = preprocess_tracks(track_static, annos, ratio=0.0, seed=0)
+            counts["static_boxes_labeled"] = 0
+            counts["dynamic_boxes_labeled"] = 0
             if ts:
                 s_ds = StaticTrackDataset(ts, annos, npoints=npoints_static, seed=0)
                 s_state = labeler_state(s_model, s_ds[0], ("pts", "init_box", "bbox_gt"))
@@ -231,6 +257,7 @@ def measure(
                     s_model, s_state, s_ds, s_inputs, s_kind, batch_size=64
                 )
                 postprocess_static(ts, annos, s_boxes, logger, det_annos, token2idx)
+                counts["static_boxes_labeled"] = len(s_boxes)
             stage_s["static_label"] = time.perf_counter() - t0
 
             t0 = time.perf_counter()
@@ -245,19 +272,24 @@ def measure(
                 postprocess_dynamic(
                     track_dynamic, annos, d_boxes, logger, det_annos, token2idx
                 )
+                counts["dynamic_boxes_labeled"] = len(d_boxes)
             stage_s["dynamic_label"] = time.perf_counter() - t0
-            return stage_s
+            return stage_s, counts
 
         wm_map, wm_annos, wm_ds = build_segment("warm_seg", warm_frames, seed=1)
-        run_chain(Path(tmp) / "warm", wm_map, wm_annos, wm_ds)  # compile warm-up
+        _, warm_counts = run_chain(Path(tmp) / "warm", wm_map, wm_annos, wm_ds)
         info_map, annos, ds = build_segment("timed_seg", n_frames, seed=0)
-        stage_s = run_chain(Path(tmp) / "timed", info_map, annos, ds)
+        stage_s, counts = run_chain(Path(tmp) / "timed", info_map, annos, ds)
         total = sum(stage_s.values())
         return {
             "frames_per_sec": n_frames / total,
             "n_frames": n_frames,
             "total_s": total,
             "stage_s": {k: round(v, 3) for k, v in stage_s.items()},
+            "counts": counts,
+            # the warm chain must label >0 boxes of each kind or the timed
+            # chain pays the labeler init/predict compiles (~30 s)
+            "warm_counts": warm_counts,
         }
 
 

@@ -27,8 +27,15 @@ model = dict(
         tasks=tasks,
         dataset="waymo",
         weight=2,
-        code_weights=[1.0] * 8,
-        common_heads={"reg": (2, 2), "height": (1, 2), "dim": (3, 2), "rot": (2, 2)},
+        # vel head (production with_vel family): the tracker associates on
+        # ct - vel*dt with a 0.8 m gate for vehicles, so without predicted
+        # velocities any object moving >~0.5 m/frame fragments into sub-7-
+        # frame tracks and the motion classifier never sees a dynamic one.
+        code_weights=[1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0],
+        common_heads={
+            "reg": (2, 2), "height": (1, 2), "dim": (3, 2),
+            "vel": (2, 2), "rot": (2, 2),
+        },
     ),
 )
 

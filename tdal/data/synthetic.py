@@ -54,6 +54,9 @@ class SyntheticScene:
         n_background: int = 2048,
         seed: int = 0,
         object_dims=(4.8, 1.8, 1.5),
+        x_range=(5.0, 30.0),
+        background_follows_ego: bool = True,
+        dynamic_motion: str = "random",
     ):
         self.scene_id = scene_id
         self.scene_name = f"synthetic_{scene_id:03d}"
@@ -64,20 +67,40 @@ class SyntheticScene:
         # Ego drives along +x at 5 m/s.
         self.ego_poses = [_pose(5.0 * self.dt * i, 0.0, 0.0) for i in range(n_frames)]
 
+        # Object x placement: pass a wide x_range to spread objects along the
+        # ego path for LONG segments — the default (5, 30) puts everything
+        # behind the ego (out of detector range) once it has driven ~35 m
+        # (~70 frames), emptying the back half of the segment.
+        self.background_follows_ego = background_follows_ego
         self.objects = []
         rng = self.rng
         for k in range(n_static):
-            center = np.array([rng.uniform(5, 30), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)])
+            center = np.array([rng.uniform(*x_range), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)])
             dims = np.array(object_dims) * rng.uniform(0.9, 1.1, 3)
             self.objects.append(
                 dict(name=f"st{scene_id}_{k}", label=1, center=center, dims=dims,
                      heading=rng.uniform(-np.pi, np.pi), vel=np.zeros(2), static=True)
             )
+        # dynamic_motion="traffic": objects cruise along the ego path (+x,
+        # near ego speed, placed near the ego start) so they STAY in detector
+        # range over long segments — random-heading objects wander out of the
+        # detection window before a far-along ego window reaches them, so a
+        # long segment's dynamic objects are never seen at all. Still >1 m/s,
+        # so the trackGT rule classifies them dynamic.
         for k in range(n_dynamic):
-            center = np.array([rng.uniform(5, 30), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)])
+            if dynamic_motion == "traffic":
+                center = np.array(
+                    [rng.uniform(5.0, 45.0), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)]
+                )
+                heading = 0.0
+                speed = rng.uniform(3.0, 8.0)
+            else:
+                center = np.array(
+                    [rng.uniform(*x_range), rng.uniform(-15, 15), rng.uniform(0.5, 1.2)]
+                )
+                heading = rng.uniform(-np.pi, np.pi)
+                speed = rng.uniform(3.0, 8.0)
             dims = np.array(object_dims) * rng.uniform(0.9, 1.1, 3)
-            heading = rng.uniform(-np.pi, np.pi)
-            speed = rng.uniform(3.0, 8.0)
             vel = speed * np.array([np.cos(heading), np.sin(heading)])
             self.objects.append(
                 dict(name=f"dy{scene_id}_{k}", label=1, center=center, dims=dims,
@@ -103,11 +126,15 @@ class SyntheticScene:
         inv = np.linalg.inv(pose)
         rng = np.random.default_rng(self.rng.bit_generator.seed_seq.entropy % (2**31) + frame)
 
+        # Background clutter on the ground plane. It tracks the EGO (like a
+        # real lidar's field of view) so long segments keep constant point
+        # density in the vehicle frame — anchored at the origin it all falls
+        # behind the ego after ~20 s and late frames go empty.
+        bg_x0 = pose[0, 3] if self.background_follows_ego else 0.0
         pts_global = [
-            # Background clutter on the ground plane.
             np.column_stack(
                 [
-                    rng.uniform(-10, 60, self.n_background),
+                    bg_x0 + rng.uniform(-10, 60, self.n_background),
                     rng.uniform(-40, 40, self.n_background),
                     rng.uniform(-0.2, 0.2, self.n_background),
                 ]

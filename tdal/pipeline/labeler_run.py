@@ -232,8 +232,22 @@ def _relative_iou_metrics(pred_boxes, gt_boxes, init_headings, types, logger, ta
 
     pred[:, 6] = _rel(pred[:, 6], ih)
     gt[:, 6] = _rel(gt[:, 6], ih)
-    iou3d, iou2d = labeler_box3d_iou(pred, gt)
-    iou3d, iou2d = np.asarray(iou3d), np.asarray(iou2d)
+    # Run the corner IoU on the CPU backend at a bucket-padded size: this is
+    # host-side METRIC code over a handful of boxes, but called eagerly on the
+    # accelerator it pays a fresh ~30 s XLA compile for every novel N (the
+    # clip graph under vmap is large) — it dominated the e2e label stages at
+    # ~30 s/call. CPU compiles in well under a second, and power-of-two
+    # padding caps the number of distinct shapes per process at log2(N).
+    import jax
+
+    n = len(pred)
+    n_pad = max(64, 1 << (n - 1).bit_length())
+    pad = np.tile(np.array([0, 0, 0, 1, 1, 1, 0], np.float64), (n_pad - n, 1))
+    with jax.default_device(jax.devices("cpu")[0]):
+        iou3d, iou2d = labeler_box3d_iou(
+            np.concatenate([pred, pad]), np.concatenate([gt, pad])
+        )
+    iou3d, iou2d = np.asarray(iou3d)[:n], np.asarray(iou2d)[:n]
     thresh = np.where(types == CYCLIST_TYPE, 0.5, 0.7)
     acc = (iou3d >= thresh).astype(np.float64)
     m2, m3, ma = float(iou2d.mean()), float(iou3d.mean()), float(acc.mean())
